@@ -1,0 +1,279 @@
+"""3D crop-and-resize (ROIAlign) — XLA-native gather/interpolate.
+
+Replaces the reference's compiled C++/CUDA ``CropAndResize3D`` custom op
+(reference: core/custom_op/custom_op.py:28-65), which generalizes
+``tf.image.crop_and_resize`` to 5-D ``[B, H, W, D, C]`` with methods
+``trilinear`` / ``nearest``. Sampling semantics follow TF crop_and_resize:
+
+  for crop size p > 1:   pos_i = b1 * (S - 1) + i * (b2 - b1) * (S - 1) / (p - 1)
+  for crop size p == 1:  pos   = 0.5 * (b1 + b2) * (S - 1)
+
+with out-of-range positions producing the extrapolation value 0. Boxes are in
+normalized [0,1] coordinates (divide-by-S convention; the (S-1) factor above
+is internal to the sampling grid, mirroring TF).
+
+Gradients w.r.t. the image come free via JAX autodiff (gather -> scatter-add),
+replacing ``CropAndResize3DGradImage``. Gradients w.r.t. boxes are stopped, as
+the reference stops them at every ROIAlign call site (core/models.py:660-661).
+
+``pyramid_roi_align`` fuses the FPN level routing (reference:
+core/models.py:597-687 PyramidROIAlign): instead of the reference's dynamic
+``tf.where`` partition into per-level crops, all levels are flattened into one
+indexable buffer and each ROI gathers from its level via index arithmetic —
+fixed shapes, no redundant crops, no re-sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from m3d.image_meta import parse_image_meta
+
+
+def _axis_positions(lo, hi, size, crop: int):
+    """Sample positions along one axis. lo/hi: [N] normalized; size: [N] or scalar.
+
+    Returns [N, crop] float positions in source-pixel space.
+    """
+    size = jnp.asarray(size, jnp.float32)
+    span = (size - 1.0)
+    if crop > 1:
+        frac = jnp.arange(crop, dtype=jnp.float32) / (crop - 1)  # [crop]
+        pos = lo[:, None] * span[..., None] + (
+            (hi - lo)[:, None] * span[..., None]
+        ) * frac[None, :]
+    else:
+        pos = (0.5 * (lo + hi) * span)[:, None]
+    return pos
+
+
+def _corner(pos, size):
+    """Floor corner index, interpolation weight, and in-bounds mask."""
+    in_bounds = jnp.logical_and(pos >= 0.0, pos <= size - 1.0)
+    pos_c = jnp.clip(pos, 0.0, size - 1.0)
+    i0 = jnp.floor(pos_c)
+    w1 = pos_c - i0
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, jnp.asarray(size, jnp.int32) - 1)
+    return i0, i1, w1, in_bounds
+
+
+def _gather_interp(flat_values, base_flat_idx, dims, strides, positions,
+                   method: str):
+    """Shared trilinear/nearest gather from a flat [T, C] buffer.
+
+    flat_values: [T, C] flattened source voxels (possibly multi-image/level).
+    base_flat_idx: [N] int32 offset of each ROI's source volume within T.
+    dims: tuple of three [N]-or-scalar source extents (H, W, D).
+    strides: tuple of three [N]-or-scalar flat strides for (y, x, z).
+    positions: tuple of three [N, p] float position grids.
+    Returns [N, py, px, pz, C].
+    """
+    (py, px, pz) = (p.shape[1] for p in positions)
+    n = positions[0].shape[0]
+    c = flat_values.shape[-1]
+
+    if method == "nearest":
+        idxs = []
+        masks = []
+        for pos, size in zip(positions, dims):
+            in_b = jnp.logical_and(pos >= 0.0, pos <= jnp.asarray(size, jnp.float32)[..., None] - 1.0)
+            i = jnp.clip(jnp.round(pos), 0, jnp.asarray(size, jnp.float32)[..., None] - 1.0)
+            idxs.append(i.astype(jnp.int32))
+            masks.append(in_b)
+        iy, ix, iz = idxs
+        sy, sx, sz = (jnp.asarray(s, jnp.int32) for s in strides)
+        flat = (
+            base_flat_idx[:, None, None, None]
+            + iy[:, :, None, None] * _bcast(sy)
+            + ix[:, None, :, None] * _bcast(sx)
+            + iz[:, None, None, :] * _bcast(sz)
+        )
+        out = flat_values[flat.reshape(-1)].reshape(n, py, px, pz, c)
+        m = (
+            masks[0][:, :, None, None]
+            & masks[1][:, None, :, None]
+            & masks[2][:, None, None, :]
+        )
+        return jnp.where(m[..., None], out, 0.0)
+
+    # trilinear
+    corners = [_corner(pos, jnp.asarray(size, jnp.float32)[..., None])
+               for pos, size in zip(positions, dims)]
+    (y0, y1c, wy, my), (x0, x1c, wx, mx), (z0, z1c, wz, mz) = corners
+    sy, sx, sz = (jnp.asarray(s, jnp.int32) for s in strides)
+
+    in_bounds = (
+        my[:, :, None, None] & mx[:, None, :, None] & mz[:, None, None, :]
+    )
+
+    out = jnp.zeros((n, py, px, pz, c), flat_values.dtype)
+    for cy, wyc in ((y0, 1.0 - wy), (y1c, wy)):
+        for cx, wxc in ((x0, 1.0 - wx), (x1c, wx)):
+            for cz, wzc in ((z0, 1.0 - wz), (z1c, wz)):
+                flat = (
+                    base_flat_idx[:, None, None, None]
+                    + cy[:, :, None, None] * _bcast(sy)
+                    + cx[:, None, :, None] * _bcast(sx)
+                    + cz[:, None, None, :] * _bcast(sz)
+                )
+                vals = flat_values[flat.reshape(-1)].reshape(n, py, px, pz, c)
+                w = (
+                    wyc[:, :, None, None]
+                    * wxc[:, None, :, None]
+                    * wzc[:, None, None, :]
+                )
+                out = out + vals * w[..., None].astype(flat_values.dtype)
+    return jnp.where(in_bounds[..., None], out, 0.0)
+
+
+def _bcast(stride):
+    """Broadcast a scalar-or-[N] stride against [N, p, p, p] index grids."""
+    s = jnp.asarray(stride, jnp.int32)
+    return s[:, None, None, None] if s.ndim == 1 else s
+
+
+@functools.partial(jax.jit, static_argnames=("crop_size", "method"))
+def crop_and_resize_3d(features, boxes, box_indices, crop_size,
+                       method: str = "trilinear"):
+    """Crop N boxes from a batch of volumes and resize to ``crop_size``.
+
+    Args:
+      features: [B, H, W, D, C].
+      boxes: [N, 6] normalized (y1,x1,z1,y2,x2,z2).
+      box_indices: [N] int32 batch index per box.
+      crop_size: static (py, px, pz).
+      method: "trilinear" | "nearest".
+
+    Returns: [N, py, px, pz, C] in features' dtype.
+    """
+    b, h, w, d, c = features.shape
+    py, px, pz = (int(s) for s in crop_size)
+    boxes = jax.lax.stop_gradient(jnp.asarray(boxes, jnp.float32))
+
+    pos_y = _axis_positions(boxes[:, 0], boxes[:, 3], float(h), py)
+    pos_x = _axis_positions(boxes[:, 1], boxes[:, 4], float(w), px)
+    pos_z = _axis_positions(boxes[:, 2], boxes[:, 5], float(d), pz)
+
+    flat = features.reshape(b * h * w * d, c)
+    base = box_indices.astype(jnp.int32) * (h * w * d)
+    return _gather_interp(
+        flat, base,
+        dims=(float(h), float(w), float(d)),
+        strides=(w * d, d, 1),
+        positions=(pos_y, pos_x, pos_z),
+        method=method,
+    )
+
+
+def compute_roi_levels(boxes, image_shape, num_levels: int = 4):
+    """FPN level per ROI: k = clamp(4 + round(log2(cbrt(vol_norm) * cbrt(HWD)/224)), 2, 5).
+
+    boxes normalized; image_shape (H, W, D) in pixels.
+    Reference: core/models.py:637-649.
+    Returns [N] int32 in [0, num_levels) (0 == P2).
+    """
+    h = boxes[..., 3] - boxes[..., 0]
+    w = boxes[..., 4] - boxes[..., 1]
+    d = boxes[..., 5] - boxes[..., 2]
+    vol = jnp.maximum(h * w * d, 1e-12)
+    image_volume = (
+        jnp.asarray(image_shape[0], jnp.float32)
+        * jnp.asarray(image_shape[1], jnp.float32)
+        * jnp.asarray(image_shape[2], jnp.float32)
+    )
+    lvl = jnp.log2(jnp.cbrt(vol) / (224.0 / jnp.cbrt(image_volume)))
+    lvl = 4 + jnp.round(lvl).astype(jnp.int32)
+    lvl = jnp.clip(lvl, 2, 2 + num_levels - 1)
+    return lvl - 2
+
+
+@functools.partial(jax.jit, static_argnames=("pool_size", "method"))
+def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
+                      method: str = "trilinear"):
+    """ROIAlign over an FPN pyramid with per-ROI level routing.
+
+    Args:
+      boxes: [B, N, 6] normalized ROIs (possibly zero-padded).
+      image_meta: [B, META] (for image_shape; reference reads D for the z
+        minimum and the level formula, core/models.py:627-649).
+      feature_maps: list of 4 arrays [B, H_l, W_l, D_l, C] (P2..P5).
+      pool_size: static (p, p, p) or int.
+
+    Returns: [B, N, p, p, p, C].
+    """
+    if isinstance(pool_size, int):
+        pool_size = (pool_size,) * 3
+    pool_size = tuple(int(s) for s in pool_size)
+
+    meta = parse_image_meta(image_meta)
+    image_shape = meta["image_shape"]  # [B, 4]
+    boxes = jax.lax.stop_gradient(jnp.asarray(boxes, jnp.float32))
+
+    bsz = boxes.shape[0]
+    num_levels = len(feature_maps)
+    c = feature_maps[0].shape[-1]
+
+    # Sanitize boxes: clip to [0,1], enforce min extents (z min = 1/D).
+    d_img = jnp.maximum(image_shape[:, 2:3], 1.0)  # [B,1]
+    y1 = jnp.clip(boxes[..., 0], 0.0, 1.0)
+    x1 = jnp.clip(boxes[..., 1], 0.0, 1.0)
+    z1 = jnp.clip(boxes[..., 2], 0.0, 1.0)
+    y2 = jnp.maximum(jnp.clip(boxes[..., 3], 0.0, 1.0), y1 + 1e-6)
+    x2 = jnp.maximum(jnp.clip(boxes[..., 4], 0.0, 1.0), x1 + 1e-6)
+    z2 = jnp.maximum(jnp.clip(boxes[..., 5], 0.0, 1.0), z1 + 1.0 / d_img)
+    boxes = jnp.stack([y1, x1, z1, y2, x2, z2], axis=-1)
+
+    # Per-ROI level (vectorized over batch via broadcasting of image shape).
+    levels = compute_roi_levels(
+        boxes,
+        (image_shape[:, 0:1], image_shape[:, 1:2], image_shape[:, 2:3]),
+        num_levels,
+    )  # [B, N]
+
+    # Flatten the pyramid into one [B, T, C] buffer; per-level dim/offset LUTs.
+    level_dims = []
+    level_offsets = []
+    offset = 0
+    flat_parts = []
+    for fm in feature_maps:
+        _, hl, wl, dl, _ = fm.shape
+        level_dims.append((hl, wl, dl))
+        level_offsets.append(offset)
+        offset += hl * wl * dl
+        flat_parts.append(fm.reshape(bsz, hl * wl * dl, c))
+    total = offset
+    flat = jnp.concatenate(flat_parts, axis=1).reshape(bsz * total, c)
+
+    dims_lut = jnp.asarray(level_dims, jnp.int32)          # [L, 3]
+    off_lut = jnp.asarray(level_offsets, jnp.int32)        # [L]
+
+    n = boxes.shape[1]
+    boxes_f = boxes.reshape(bsz * n, 6)
+    levels_f = levels.reshape(bsz * n)
+    batch_f = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+
+    roi_dims = dims_lut[levels_f]                          # [BN, 3]
+    hy = roi_dims[:, 0].astype(jnp.float32)
+    wx = roi_dims[:, 1].astype(jnp.float32)
+    dz = roi_dims[:, 2].astype(jnp.float32)
+    base = batch_f * total + off_lut[levels_f]
+
+    pos_y = _axis_positions(boxes_f[:, 0], boxes_f[:, 3], hy, pool_size[0])
+    pos_x = _axis_positions(boxes_f[:, 1], boxes_f[:, 4], wx, pool_size[1])
+    pos_z = _axis_positions(boxes_f[:, 2], boxes_f[:, 5], dz, pool_size[2])
+
+    out = _gather_interp(
+        flat, base,
+        dims=(hy, wx, dz),
+        strides=(roi_dims[:, 1] * roi_dims[:, 2], roi_dims[:, 2],
+                 jnp.ones_like(roi_dims[:, 2])),
+        positions=(pos_y, pos_x, pos_z),
+        method=method,
+    )
+    out = out.reshape(bsz, n, *pool_size, c)
+    # NaN scrub (reference: core/models.py:683).
+    return jnp.where(jnp.isfinite(out), out, 0.0)
