@@ -1,0 +1,265 @@
+"""Assembled 3D Mask R-CNN (flax module + pure forward functions).
+
+The reference builds three Keras graphs (RPN, HEAD, MaskRCNN classes —
+core/models.py:3097-7453) out of shared pieces. Here ONE flax module owns all
+parameters (name-keyed compatibly across uses, enabling the reference's
+"partial load by name across model variants" workflow via orbax subtree
+restore), and thin pure functions compose its methods into the different
+task forwards:
+
+  - ``forward_rpn``        -> RPN training outputs (logits/deltas/proposals)
+  - ``forward_targeting``  -> proposals + sampled targets + aligned features
+  - ``forward_heads``      -> classifier/mask outputs on given ROIs
+  - ``__call__``           -> full inference (detections + masks)
+
+Anchors are an input (like the reference MaskRCNN build, core/models.py:5510)
+so variable image sizes re-use one compiled graph per shape bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from m3d.models.backbone import ResNet3D
+from m3d.models.detection import refine_detections_batch
+from m3d.models.fpn import FPN3D
+from m3d.models.heads import ClassifierHead, MaskHead
+from m3d.models.proposal import generate_proposals
+from m3d.models.rpn_head import RPNHead
+from m3d.ops.roialign3d import pyramid_roi_align
+
+Dtype = Any
+
+
+def init_params(model: "MaskRCNN", key, num_classes: int | None = None,
+                channels: int = 1):
+    """Initialize parameters cheaply on a minimal volume.
+
+    Parameter shapes are independent of the spatial extent (convs + BN), so we
+    trace the smallest stride-compatible volume (64x64x8) instead of executing
+    the full-size graph — init at 128^3 costs minutes on a remote-compile TPU.
+    """
+    import numpy as np
+
+    from m3d.anchors import normalized_pyramid_anchors
+    from m3d.config import Config
+    from m3d.image_meta import default_meta
+
+    nc = num_classes or model.num_classes
+    tiny = Config(
+        IMAGE_SIZE=64, IMAGE_DEPTH=8, NUM_CLASSES=nc,
+        BACKBONE_STRIDES=[(4, 4, 1), (8, 8, 1), (16, 16, 1), (32, 32, 1),
+                          (64, 64, model.p6_stride[2])],
+        RPN_ANCHOR_SCALES=tuple(8 * (i + 1) for i in range(5)),
+        RPN_ANCHOR_RATIOS=[1.0] * model.num_ratios,
+    )
+    image = np.zeros((1, 64, 64, 8, channels), np.float32)
+    anchors = normalized_pyramid_anchors(tiny)
+    meta = default_meta(tiny)[None]
+    small = model.clone(
+        pre_nms_limit=min(model.pre_nms_limit, anchors.shape[0]),
+        post_nms_rois=min(model.post_nms_rois, 64),
+        detection_max_instances=min(model.detection_max_instances, 8),
+        image_depth=8,
+    )
+    return small.init(key, image, meta, anchors)
+
+
+class MaskRCNN(nn.Module):
+    # Architecture
+    backbone: str = "resnet50"
+    top_down_pyramid_size: int = 256
+    num_classes: int = 2
+    pool_size: int = 7
+    mask_pool_size: int = 14
+    fc_layers_size: int = 1024
+    head_conv_channel: int = 256
+    num_ratios: int = 5
+    anchor_stride: int = 1
+    p6_stride: tuple = (2, 2, 1)
+    image_depth: int = 12
+    # Proposal / detection hyperparameters (static per-build)
+    rpn_bbox_std_dev: tuple = (0.1, 0.1, 0.1, 0.2, 0.2, 0.2)
+    bbox_std_dev: tuple = (0.1, 0.1, 0.1, 0.2, 0.2, 0.2)
+    rpn_nms_threshold: float = 0.9
+    pre_nms_limit: int = 10000
+    post_nms_rois: int = 1500
+    detection_min_confidence: float = 0.2
+    detection_nms_threshold: float = 0.45
+    detection_max_instances: int = 50
+    detection_nms_xy_only: bool = False
+    train_bn: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @classmethod
+    def from_config(cls, config, mode: str = "inference", **overrides):
+        """Build from a reference-schema Config (m3d.config.Config)."""
+        scales = list(config.RPN_ANCHOR_SCALES)
+        strides = config.BACKBONE_STRIDES
+        n_levels = len(strides)
+        assert len(scales) <= n_levels, (
+            "the RPN head is shared across levels with anchors_per_location ="
+            " len(RPN_ANCHOR_RATIOS); more scales than FPN levels would"
+            " misalign the flattened RPN outputs with the anchor pyramid"
+            " (latent in the reference too: core/models.py:3244-3263)"
+        )
+        p6_stride = tuple(
+            max(1, strides[4][i] // strides[3][i]) for i in range(3)
+        )
+        post_nms = (
+            config.POST_NMS_ROIS_TRAINING
+            if mode in ("training", "targeting")
+            else config.POST_NMS_ROIS_INFERENCE
+        )
+        kw = dict(
+            backbone=config.BACKBONE,
+            top_down_pyramid_size=int(config.TOP_DOWN_PYRAMID_SIZE),
+            num_classes=int(config.NUM_CLASSES),
+            pool_size=int(config.POOL_SIZE),
+            mask_pool_size=int(config.MASK_POOL_SIZE),
+            fc_layers_size=int(config.FPN_CLASSIF_FC_LAYERS_SIZE),
+            head_conv_channel=int(config.HEAD_CONV_CHANNEL),
+            num_ratios=len(config.RPN_ANCHOR_RATIOS),
+            anchor_stride=int(config.RPN_ANCHOR_STRIDE),
+            p6_stride=p6_stride,
+            image_depth=int(config.IMAGE_DEPTH),
+            rpn_bbox_std_dev=tuple(float(v) for v in config.RPN_BBOX_STD_DEV),
+            bbox_std_dev=tuple(float(v) for v in config.BBOX_STD_DEV),
+            rpn_nms_threshold=float(config.RPN_NMS_THRESHOLD),
+            pre_nms_limit=int(config.PRE_NMS_LIMIT),
+            post_nms_rois=int(post_nms),
+            detection_min_confidence=float(config.DETECTION_MIN_CONFIDENCE),
+            detection_nms_threshold=float(config.DETECTION_NMS_THRESHOLD),
+            detection_max_instances=int(config.DETECTION_MAX_INSTANCES),
+            detection_nms_xy_only=bool(
+                getattr(config, "DETECTION_NMS_XY_ONLY", False)
+            ),
+            train_bn=bool(config.TRAIN_BN),
+            dtype=jnp.bfloat16
+            if str(getattr(config, "COMPUTE_DTYPE", "bfloat16")) == "bfloat16"
+            else jnp.float32,
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    def setup(self):
+        self.resnet = ResNet3D(self.backbone, self.train_bn, self.dtype)
+        self.fpn = FPN3D(self.top_down_pyramid_size, self.p6_stride, self.dtype)
+        self.rpn = RPNHead(self.num_ratios, self.anchor_stride, self.dtype)
+        self.classifier = ClassifierHead(
+            self.pool_size, self.num_classes, self.fc_layers_size,
+            self.train_bn, self.dtype,
+        )
+        self.mask_head = MaskHead(
+            self.num_classes, self.head_conv_channel, self.train_bn, self.dtype
+        )
+
+    # ------------------------------------------------------------------
+    # Composable stages
+    # ------------------------------------------------------------------
+    def extract_features(self, image):
+        """image [B,H,W,D,C] -> (P2, P3, P4, P5, P6)."""
+        _, c2, c3, c4, c5 = self.resnet(image)
+        return self.fpn(c2, c3, c4, c5)
+
+    def rpn_forward(self, feature_maps):
+        """Apply the shared RPN head to P2..P6; concat along anchors."""
+        outs = [self.rpn(p) for p in feature_maps]
+        logits = jnp.concatenate([o[0] for o in outs], axis=1)
+        probs = jnp.concatenate([o[1] for o in outs], axis=1)
+        deltas = jnp.concatenate([o[2] for o in outs], axis=1)
+        return logits, probs, deltas
+
+    def propose(self, rpn_probs, rpn_deltas, anchors):
+        return generate_proposals(
+            rpn_probs, rpn_deltas, anchors,
+            jnp.asarray(self.rpn_bbox_std_dev, jnp.float32),
+            proposal_count=self.post_nms_rois,
+            nms_threshold=self.rpn_nms_threshold,
+            pre_nms_limit=self.pre_nms_limit,
+            image_depth=self.image_depth,
+        )
+
+    def classify_rois(self, rois, image_meta, mrcnn_feature_maps):
+        aligned = pyramid_roi_align(
+            rois, image_meta, list(mrcnn_feature_maps), self.pool_size
+        )
+        return self.classifier(aligned)
+
+    def mask_rois(self, rois, image_meta, mrcnn_feature_maps):
+        aligned = pyramid_roi_align(
+            rois, image_meta, list(mrcnn_feature_maps), self.mask_pool_size
+        )
+        return self.mask_head(aligned)
+
+    # ------------------------------------------------------------------
+    # Task forwards
+    # ------------------------------------------------------------------
+    def forward_rpn_train(self, image):
+        """RPN forward without proposal generation — the training step needs
+        only logits/deltas (the reference graph computes ProposalLayer every
+        step anyway; skipping it saves the NMS per step)."""
+        feats = self.extract_features(image)
+        logits, probs, deltas = self.rpn_forward(feats)
+        return {"rpn_class_logits": logits, "rpn_probs": probs,
+                "rpn_bbox": deltas}
+
+    def forward_rpn(self, image, anchors):
+        """RPN training/eval forward (reference RPN.build training branch,
+        core/models.py:3162-3330). Returns dict of RPN outputs + proposals."""
+        feats = self.extract_features(image)
+        logits, probs, deltas = self.rpn_forward(feats)
+        proposals, valid = self.propose(probs, deltas, anchors)
+        return {
+            "rpn_class_logits": logits,
+            "rpn_probs": probs,
+            "rpn_bbox": deltas,
+            "proposals": proposals,
+            "proposals_valid": valid,
+            "feature_maps": feats,
+        }
+
+    def forward_heads(self, rois_aligned, mask_aligned):
+        """Head-only forward on pre-aligned features (reference HEAD
+        _build_head_only_model, core/models.py:4044-4115)."""
+        logits, probs, bbox = self.classifier(rois_aligned)
+        masks = self.mask_head(mask_aligned)
+        return {
+            "mrcnn_class_logits": logits,
+            "mrcnn_probs": probs,
+            "mrcnn_bbox": bbox,
+            "mrcnn_masks": masks,
+        }
+
+    def __call__(self, image, image_meta, anchors):
+        """Full inference (reference MaskRCNN.build inference branch,
+        core/models.py:5695-5740)."""
+        feats = self.extract_features(image)
+        logits, probs, deltas = self.rpn_forward(feats)
+        proposals, prop_valid = self.propose(probs, deltas, anchors)
+
+        mrcnn_feats = feats[:4]  # P2..P5
+        cls_logits, cls_probs, cls_bbox = self.classify_rois(
+            proposals, image_meta, mrcnn_feats
+        )
+        detections, det_valid = refine_detections_batch(
+            proposals, cls_probs, cls_bbox, image_meta,
+            jnp.asarray(self.bbox_std_dev, jnp.float32),
+            self.detection_min_confidence,
+            self.detection_nms_threshold,
+            self.detection_max_instances,
+            nms_xy_only=self.detection_nms_xy_only,
+        )
+        masks = self.mask_rois(detections[..., :6], image_meta, mrcnn_feats)
+        return {
+            "detections": detections,
+            "detections_valid": det_valid,
+            "mrcnn_masks": masks,
+            "mrcnn_probs": cls_probs,
+            "mrcnn_bbox": cls_bbox,
+            "proposals": proposals,
+            "proposals_valid": prop_valid,
+        }

@@ -73,8 +73,10 @@ def nms_3d(boxes, scores, iou_threshold, max_output: int, valid=None,
     if valid is not None:
         scores = jnp.where(valid, scores, NEG_INF)
 
-    # Pad N to a multiple of block_size with -inf scores.
-    n_pad = (-n) % block_size
+    # Pad N to a multiple of block_size (and to >= max_output so the final
+    # top_k is well-defined) with -inf scores.
+    n_min = max(n, max_output)
+    n_pad = (n_min - n) + ((-n_min) % block_size)
     if n_pad:
         boxes = jnp.concatenate([boxes, jnp.zeros((n_pad, 6), boxes.dtype)], axis=0)
         scores = jnp.concatenate([scores, jnp.full((n_pad,), NEG_INF)], axis=0)
@@ -133,7 +135,7 @@ def nms_3d(boxes, scores, iou_threshold, max_output: int, valid=None,
     key = jnp.where(kept, -jnp.arange(n_total, dtype=jnp.float32), NEG_INF)
     _, sel = jax.lax.top_k(key, max_output)
     out_valid = kept[sel]
-    indices = jnp.where(out_valid, order[sel], 0)
+    indices = jnp.where(out_valid, jnp.minimum(order[sel], n - 1), 0)
     return indices.astype(jnp.int32), out_valid
 
 

@@ -191,9 +191,102 @@ def compute_roi_levels(boxes, image_shape, num_levels: int = 4):
     return lvl - 2
 
 
-@functools.partial(jax.jit, static_argnames=("pool_size", "method"))
+def _axis_slab_weights(pos, dim, slab: int):
+    """Per-axis slab origin + interpolation weight matrix.
+
+    pos: [N, p] absolute sample positions in level coordinates.
+    dim: [N] level extent along this axis.
+    Returns (origin [N] int32, W [N, p, slab] float32) such that
+    ``out_i = sum_s W[i, s] * F[origin + s]`` reproduces clamped linear
+    interpolation with zero extrapolation. Exact when the sample span fits in
+    the slab (span <= slab-1 cells; FPN level routing keeps typical ROIs at
+    ~10-20 cells); longer spans clamp to the slab edge (approximation).
+    """
+    dim = jnp.asarray(dim, jnp.float32)[:, None]  # [N,1]
+    valid = jnp.logical_and(pos >= 0.0, pos <= dim - 1.0)
+    pos_c = jnp.clip(pos, 0.0, dim - 1.0)
+    origin = jnp.clip(jnp.floor(jnp.min(pos_c, axis=1)), 0.0,
+                      jnp.maximum(dim[:, 0] - slab, 0.0))  # [N]
+    rel = jnp.clip(pos_c - origin[:, None], 0.0, slab - 1.0)
+    i0 = jnp.floor(rel)
+    frac = rel - i0
+    max_col = jnp.minimum(float(slab - 1), dim - 1.0 - origin[:, None])
+    i1 = jnp.minimum(i0 + 1.0, max_col)
+
+    cols = jnp.arange(slab, dtype=jnp.float32)  # [S]
+    w0 = (cols[None, None, :] == i0[..., None]) * (1.0 - frac)[..., None]
+    w1 = (cols[None, None, :] == i1[..., None]) * frac[..., None]
+    w = (w0 + w1) * valid[..., None].astype(jnp.float32)
+    return origin.astype(jnp.int32), w
+
+
+def _slab_interp(flat_values, base_flat_idx, dims, strides, positions,
+                 slab: int, chunk: int = 128):
+    """Slab-gather + separable-matmul interpolation.
+
+    Instead of 8 scattered corner gathers per sample point, each ROI reads
+    ONE [S,S,S,C] slab as S*S contiguous z-runs (fast on TPU) and three tiny
+    [p,S] weight matmuls contract it to [p,p,p,C] on the MXU. ~25 MFLOP/ROI,
+    sequentially chunked to bound the slab intermediate.
+    """
+    n = positions[0].shape[0]
+    c = flat_values.shape[-1]
+    p_sizes = tuple(p.shape[1] for p in positions)
+
+    hy, wx, dz = (jnp.asarray(d, jnp.float32) for d in dims)
+    sy, sx, _ = (jnp.asarray(s, jnp.int32) for s in strides)
+
+    oy, wy = _axis_slab_weights(positions[0], hy, slab)
+    ox, wxm = _axis_slab_weights(positions[1], wx, slab)
+    oz, wz = _axis_slab_weights(positions[2], dz, slab)
+
+    # Flat start (in elements) of each (y, x) z-run of the slab.
+    iy = jnp.minimum(oy[:, None] + jnp.arange(slab, dtype=jnp.int32),
+                     jnp.asarray(hy, jnp.int32)[:, None] - 1)  # [N,S]
+    ix = jnp.minimum(ox[:, None] + jnp.arange(slab, dtype=jnp.int32),
+                     jnp.asarray(wx, jnp.int32)[:, None] - 1)  # [N,S]
+    starts = (
+        base_flat_idx[:, None, None]
+        + iy[:, :, None] * (sy[:, None, None] if sy.ndim else sy)
+        + ix[:, None, :] * (sx[:, None, None] if sx.ndim else sx)
+        + oz[:, None, None]
+    ) * c  # [N, S, S] element offsets into flat_values.reshape(-1)
+    flat1 = flat_values.reshape(-1)
+    max_start = flat1.shape[0] - slab * c
+    starts = jnp.clip(starts, 0, max_start)
+
+    # Pad N to a chunk multiple and scan chunks.
+    n_pad = (-n) % chunk
+    def pad(x):
+        return jnp.concatenate(
+            [x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)], 0) if n_pad else x
+    starts_p, wy_p, wx_p, wz_p = map(pad, (starts, wy, wxm, wz))
+    num_chunks = (n + n_pad) // chunk
+
+    def do_chunk(args):
+        st, a, bmat, cmat = args  # [chunk,S,S], [chunk,p,S] x3
+        take = jax.vmap(jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat1, (s,), (slab * c,)))))
+        slab_v = take(st).reshape(chunk, slab, slab, slab, c)
+        slab_f = slab_v.astype(jnp.float32)
+        t1 = jnp.einsum("nps,nsxzc->npxzc", a, slab_f)
+        t2 = jnp.einsum("nqx,npxzc->npqzc", bmat, t1)
+        return jnp.einsum("nrz,npqzc->npqrc", cmat, t2)
+
+    out = jax.lax.map(
+        do_chunk,
+        (starts_p.reshape(num_chunks, chunk, slab, slab),
+         wy_p.reshape(num_chunks, chunk, *wy.shape[1:]),
+         wx_p.reshape(num_chunks, chunk, *wxm.shape[1:]),
+         wz_p.reshape(num_chunks, chunk, *wz.shape[1:])),
+    )
+    out = out.reshape(num_chunks * chunk, *p_sizes, c)[:n]
+    return out.astype(flat_values.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("pool_size", "method", "slab"))
 def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
-                      method: str = "trilinear"):
+                      method: str = "trilinear", slab: int = 16):
     """ROIAlign over an FPN pyramid with per-ROI level routing.
 
     Args:
@@ -266,14 +359,24 @@ def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
     pos_x = _axis_positions(boxes_f[:, 1], boxes_f[:, 4], wx, pool_size[1])
     pos_z = _axis_positions(boxes_f[:, 2], boxes_f[:, 5], dz, pool_size[2])
 
-    out = _gather_interp(
-        flat, base,
-        dims=(hy, wx, dz),
-        strides=(roi_dims[:, 1] * roi_dims[:, 2], roi_dims[:, 2],
-                 jnp.ones_like(roi_dims[:, 2])),
-        positions=(pos_y, pos_x, pos_z),
-        method=method,
-    )
+    if method == "trilinear":
+        out = _slab_interp(
+            flat, base,
+            dims=(hy, wx, dz),
+            strides=(roi_dims[:, 1] * roi_dims[:, 2], roi_dims[:, 2],
+                     jnp.ones_like(roi_dims[:, 2])),
+            positions=(pos_y, pos_x, pos_z),
+            slab=slab,
+        )
+    else:
+        out = _gather_interp(
+            flat, base,
+            dims=(hy, wx, dz),
+            strides=(roi_dims[:, 1] * roi_dims[:, 2], roi_dims[:, 2],
+                     jnp.ones_like(roi_dims[:, 2])),
+            positions=(pos_y, pos_x, pos_z),
+            method=method,
+        )
     out = out.reshape(bsz, n, *pool_size, c)
     # NaN scrub (reference: core/models.py:683).
     return jnp.where(jnp.isfinite(out), out, 0.0)

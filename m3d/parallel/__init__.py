@@ -1,0 +1,1 @@
+from m3d.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401

@@ -1,0 +1,188 @@
+"""Optimizer construction from the reference's OPTIMIZER config dict.
+
+Parity with the reference compile paths (core/models.py:3340-3387 RPN.compile,
+4438-4495 HEAD.compile): SGD / Adadelta / Adam selected by
+``OPTIMIZER = {"name": ..., "parameters": {...}}``; L2 weight decay
+``0.5 * WEIGHT_DECAY * ||w||^2`` added for every parameter EXCEPT BatchNorm
+scale/offset (the reference skips gamma/beta, core/models.py:3379-3384) —
+realized as optax.add_decayed_weights with a mask (identical gradient).
+
+Also provides:
+- MaxNorm kernel projection for mrcnn_class_logits (max 2.0) and
+  mrcnn_bbox_fc (max 1.0), applied post-update like Keras constraints
+  (reference: core/models.py:1156-1176).
+- freeze masks via optax.multi_transform (replaces the reference's
+  prefix-based layer freezing, core/models.py:4626-4701).
+- host-side ReduceLROnPlateau / EarlyStopping equivalents
+  (reference: core/models.py:2949-3060).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _normalize_params(p: dict | None) -> dict:
+    p = dict(p or {})
+    if "lr" in p and "learning_rate" not in p:
+        p["learning_rate"] = p.pop("lr")
+    if "beta1" in p:
+        p["beta_1"] = p.pop("beta1")
+    if "beta2" in p:
+        p["beta_2"] = p.pop("beta2")
+    return p
+
+
+def _path_has_bn(path) -> bool:
+    return any("bn" in str(getattr(k, "key", k)).lower() for k in path)
+
+
+def decay_mask(params):
+    """True where weight decay applies (everything except BN scale/bias)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    return jax.tree_util.tree_unflatten(
+        flat[1], [not _path_has_bn(path) for path, _ in flat[0]]
+    )
+
+
+def build_optimizer(config, params=None, learning_rate=None,
+                    freeze_predicate=None):
+    """Returns an optax.GradientTransformation.
+
+    freeze_predicate: optional fn(path_str) -> bool; frozen params get zero
+    updates (used by HEAD e2e training to freeze backbone/FPN/RPN,
+    reference: core/models.py:4626-4701).
+    """
+    spec = getattr(config, "OPTIMIZER", {"name": "SGD", "parameters": {}})
+    name = str(spec.get("name", "SGD")).lower()
+    p = _normalize_params(spec.get("parameters"))
+    lr = float(learning_rate if learning_rate is not None
+               else p.get("learning_rate", 0.01))
+
+    if name == "sgd":
+        base = optax.sgd(lr, momentum=float(p.get("momentum", 0.9)),
+                         nesterov=bool(p.get("nesterov", False)))
+    elif name == "adadelta":
+        base = optax.adadelta(lr if "learning_rate" in p else 1.0,
+                              rho=float(p.get("rho", 0.95)),
+                              eps=float(p.get("epsilon", 1e-7)))
+    elif name in ("adam", "adamw"):
+        base = optax.adam(lr, b1=float(p.get("beta_1", 0.9)),
+                          b2=float(p.get("beta_2", 0.999)),
+                          eps=float(p.get("epsilon", 1e-8)))
+    else:
+        raise ValueError(f"unsupported optimizer: {spec}")
+
+    wd = float(getattr(config, "WEIGHT_DECAY", 0.0))
+    chain = []
+    if wd > 0:
+        chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+    clip = float(getattr(config, "GRADIENT_CLIP_NORM", 0.0) or 0.0)
+    if clip > 0:
+        chain.append(optax.clip_by_global_norm(clip))
+    chain.append(base)
+    tx = optax.chain(*chain)
+
+    if freeze_predicate is not None:
+        def label_fn(params):
+            flat = jax.tree_util.tree_flatten_with_path(params)
+            labels = []
+            for path, _ in flat[0]:
+                pstr = "/".join(str(getattr(k, "key", k)) for k in path)
+                labels.append("frozen" if freeze_predicate(pstr) else "train")
+            return jax.tree_util.tree_unflatten(flat[1], labels)
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    return tx
+
+
+# ----------------------------------------------------------------------
+# Keras-style MaxNorm constraints as a post-step projection
+# ----------------------------------------------------------------------
+_MAXNORM = {"mrcnn_class_logits": 2.0, "mrcnn_bbox_fc": 1.0}
+
+
+def apply_constraints(params):
+    """Project Dense kernels to their max column norms (Keras MaxNorm parity:
+    the norm is over the input axis, per output unit)."""
+
+    def visit(path, leaf):
+        names = [str(getattr(k, "key", k)) for k in path]
+        if names[-1] != "kernel":
+            return leaf
+        for module, max_norm in _MAXNORM.items():
+            if module in names:
+                norm = jnp.sqrt(jnp.sum(leaf * leaf, axis=0, keepdims=True))
+                scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-7))
+                return leaf * scale
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+# ----------------------------------------------------------------------
+# Host-side schedule callbacks (reference: core/models.py:2949-3060)
+# ----------------------------------------------------------------------
+class ReduceLROnPlateau:
+    def __init__(self, factor=0.5, patience=3, min_lr=1e-6, mode="min"):
+        self.factor, self.patience, self.min_lr = factor, patience, min_lr
+        self.mode = mode
+        self.best = np.inf if mode == "min" else -np.inf
+        self.wait = 0
+
+    def update(self, metric, lr):
+        improved = (metric < self.best) if self.mode == "min" else (metric > self.best)
+        if improved:
+            self.best, self.wait = metric, 0
+            return lr
+        self.wait += 1
+        if self.wait >= self.patience:
+            self.wait = 0
+            new_lr = max(self.min_lr, lr * self.factor)
+            if new_lr < lr:
+                print(f"[ReduceLROnPlateau] lr {lr:.2e} -> {new_lr:.2e}")
+            return new_lr
+        return lr
+
+
+class EarlyStopping:
+    def __init__(self, patience=10, mode="min", min_delta=0.0):
+        self.patience, self.mode, self.min_delta = patience, mode, min_delta
+        self.best = np.inf if mode == "min" else -np.inf
+        self.wait = 0
+        self.stopped = False
+
+    def update(self, metric):
+        improved = (
+            metric < self.best - self.min_delta
+            if self.mode == "min"
+            else metric > self.best + self.min_delta
+        )
+        if improved:
+            self.best, self.wait = metric, 0
+        else:
+            self.wait += 1
+            if self.wait >= self.patience:
+                self.stopped = True
+        return self.stopped
+
+
+def make_lr_schedule(base_lr: float, warmup_steps: int = 0,
+                     total_steps: int | None = None, cosine: bool = False):
+    """Optional cosine-with-warmup schedule (the reference defines one but
+    ships with it disabled, core/models.py:3430-3450)."""
+    if not cosine:
+        if warmup_steps <= 0:
+            return base_lr
+        return optax.linear_schedule(0.0, base_lr, warmup_steps)
+    assert total_steps is not None
+    return optax.warmup_cosine_decay_schedule(
+        0.0, base_lr, warmup_steps, total_steps
+    )
