@@ -77,7 +77,15 @@ def build_rpn_targets(anchors, gt_class_ids, gt_boxes, config, rng=None,
     elif g_max <= 1.5 < 2.0 < a_max:
         anchors_w = np.clip(anchors_w / scale, 0.0, 1.0)
 
-    overlaps = overlaps_3d_numpy(anchors_w, gt_w)  # [A, G]
+    # IoU matrix — the host hot loop; native C++ path when built.
+    try:
+        from m3d import native
+
+        overlaps = (native.iou_matrix_3d(anchors_w, gt_w)
+                    if native.available()
+                    else overlaps_3d_numpy(anchors_w, gt_w))
+    except ImportError:
+        overlaps = overlaps_3d_numpy(anchors_w, gt_w)  # [A, G]
     anchor_iou_max = overlaps.max(axis=1)
     gt_argmax = overlaps.argmax(axis=0)
 

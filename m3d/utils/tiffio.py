@@ -22,7 +22,19 @@ def imwrite_volume(path: str, volume: np.ndarray) -> None:
 
 
 def imread_volume(path: str) -> np.ndarray:
-    """Read a multi-page TIFF as a 3-D array (pages on axis 0)."""
+    """Read a multi-page TIFF as a 3-D array (pages on axis 0).
+
+    Uses the native C++ reader (m3d.native) when available — the dataset IO
+    hot path — falling back to PIL for formats it doesn't cover.
+    """
+    try:
+        from m3d import native
+
+        arr = native.read_tiff_volume(path)
+        if arr is not None:
+            return arr
+    except Exception:  # noqa: BLE001 — any native failure falls back to PIL
+        pass
     from PIL import Image
 
     img = Image.open(path)
