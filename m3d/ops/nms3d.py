@@ -46,9 +46,82 @@ def _pairwise_iou(boxes_a, boxes_b, vol_a, vol_b, eps=1e-10):
     return inter / union
 
 
-@functools.partial(jax.jit, static_argnames=("max_output", "block_size"))
+# Above this sorted-candidate count the O(N^2) suppression matrix of the
+# fixpoint algorithm gets too large; fall back to blockwise greedy.
+FIXPOINT_MAX_N = 16384
+
+
+@functools.partial(jax.jit, static_argnames=("max_output",))
+def nms_3d_fixpoint(boxes, scores, iou_threshold, max_output: int,
+                    valid=None, max_rounds: int = 64):
+    """Greedy NMS via parallel fixpoint iteration — the TPU-native algorithm.
+
+    Sort by score, build the triangular suppression mask
+    ``M[j, i] = (j before i) & (IoU > thr)`` once (O(N^2) vectorized), then
+    iterate ``alive <- ~(alive @ M)`` until the fixpoint. The fixpoint is
+    exactly the greedy-NMS keep set (alternating-monotone iteration, settles
+    one suppression-chain level per round; chains are a handful deep in
+    practice). Each round is ONE [N]x[N,N] matvec on the MXU instead of the
+    per-box sequential scan — ~10 rounds replace N sequential steps.
+    """
+    boxes = jnp.asarray(boxes, jnp.float32)
+    scores = jnp.asarray(scores, jnp.float32)
+    n = boxes.shape[0]
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    vols = box_volume(boxes_s)
+    alive0 = scores_s > NEG_INF / 2
+
+    iou = _pairwise_iou(boxes_s, boxes_s, vols, vols)  # [N, N]
+    pos = jnp.arange(n)
+    earlier = pos[:, None] < pos[None, :]  # j strictly before i (ties by index)
+    sup = jnp.logical_and(iou > iou_threshold, earlier)  # [N(j), N(i)]
+    sup_f = sup.astype(jnp.bfloat16)
+
+    def cond(state):
+        t, alive, changed = state
+        return jnp.logical_and(changed, t < max_rounds)
+
+    def body(state):
+        t, alive, _ = state
+        killed = (
+            jnp.dot(alive.astype(jnp.bfloat16), sup_f,
+                    preferred_element_type=jnp.float32) > 0.5
+        )
+        new_alive = jnp.logical_and(~killed, alive0)
+        return t + 1, new_alive, jnp.any(new_alive != alive)
+
+    _, alive, _ = jax.lax.while_loop(cond, body, (0, alive0, True))
+
+    key = jnp.where(alive, -pos.astype(jnp.float32), NEG_INF)
+    _, sel = jax.lax.top_k(key, min(max_output, n))
+    out_valid = alive[sel]
+    indices = jnp.where(out_valid, order[sel], 0)
+    if max_output > n:
+        pad = max_output - n
+        indices = jnp.concatenate([indices, jnp.zeros(pad, indices.dtype)])
+        out_valid = jnp.concatenate([out_valid, jnp.zeros(pad, bool)])
+    return indices.astype(jnp.int32), out_valid
+
+
 def nms_3d(boxes, scores, iou_threshold, max_output: int, valid=None,
            block_size: int = 128):
+    """Greedy 3D NMS — dispatches to the fixpoint algorithm when the
+    suppression matrix fits, else the blockwise-greedy kernel."""
+    if boxes.shape[0] <= FIXPOINT_MAX_N:
+        return nms_3d_fixpoint(boxes, scores, iou_threshold, max_output,
+                               valid=valid)
+    return nms_3d_blockwise(boxes, scores, iou_threshold, max_output,
+                            valid=valid, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("max_output", "block_size"))
+def nms_3d_blockwise(boxes, scores, iou_threshold, max_output: int, valid=None,
+                     block_size: int = 128):
     """Greedy 3D NMS over padded inputs.
 
     Args:

@@ -1,0 +1,111 @@
+"""Staged-compile TPU benchmark: per-stage compile cost + steady-state e2e.
+
+The axon remote-compile tunnel struggles with one monolithic inference graph;
+compiling the pipeline in stages (backbone+FPN / RPN / proposal / ROIAlign+
+classifier / detection / mask) keeps each compile digestible and caches
+incrementally. Stage boundaries keep arrays on-device; only dispatch overhead
+is added.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_staged.py [size] [depth]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from m3d.anchors import normalized_pyramid_anchors  # noqa: E402
+from m3d.config import Config  # noqa: E402
+from m3d.image_meta import default_meta  # noqa: E402
+from m3d.models.mask_rcnn import MaskRCNN, init_params  # noqa: E402
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    zs = max(1, depth // 64)
+    cfg = Config(
+        IMAGE_SIZE=size, IMAGE_DEPTH=depth,
+        BACKBONE_STRIDES=[(4, 4, 1), (8, 8, 1), (16, 16, 1), (32, 32, 1),
+                          (64, 64, zs)],
+        RPN_ANCHOR_SCALES=(8, 16, 24, 32, 48),
+        RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
+        PRE_NMS_LIMIT=4000, POST_NMS_ROIS_INFERENCE=500,
+        DETECTION_MAX_INSTANCES=20,
+    )
+    model = MaskRCNN.from_config(cfg, mode="inference")
+    anchors = normalized_pyramid_anchors(cfg)
+    meta = default_meta(cfg)[None]
+    image = np.random.RandomState(0).randn(1, size, size, depth, 1).astype(
+        np.float32)
+
+    t0 = time.perf_counter()
+    variables = init_params(model, jax.random.PRNGKey(0))
+    print(f"[init] {time.perf_counter()-t0:.1f}s", flush=True)
+
+    s1 = jax.jit(lambda img: model.apply(variables, img,
+                                         method=MaskRCNN.extract_features))
+    s2 = jax.jit(lambda f: model.apply(variables, f,
+                                       method=MaskRCNN.rpn_forward))
+    s3 = jax.jit(lambda p, d: model.apply(variables, p, d, anchors,
+                                          method=MaskRCNN.propose))
+    s4 = jax.jit(lambda r, f: model.apply(variables, r, meta, f[:4],
+                                          method=MaskRCNN.classify_rois))
+    import jax.numpy as jnp
+
+    from m3d.models.detection import refine_detections_batch
+
+    s5 = jax.jit(lambda r, pr, bb: refine_detections_batch(
+        r, pr, bb, meta, jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),
+        cfg.DETECTION_MIN_CONFIDENCE, cfg.DETECTION_NMS_THRESHOLD,
+        int(cfg.DETECTION_MAX_INSTANCES)))
+    s6 = jax.jit(lambda d, f: model.apply(variables, d[..., :6], meta, f[:4],
+                                          method=MaskRCNN.mask_rois))
+
+    stages = []
+
+    def timed(name, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        stages.append((name, dt))
+        print(f"[{name}] compile+run: {dt:.1f}s", flush=True)
+        return out
+
+    feats = timed("backbone+FPN", s1, image)
+    rpn = timed("RPN", s2, feats)
+    props = timed("proposal/NMS", s3, rpn[1], rpn[2])
+    cls = timed("roialign+classifier", s4, props[0], feats)
+    det = timed("detection", s5, props[0], cls[1], cls[2])
+    masks = timed("mask-head", s6, det[0], feats)
+
+    def full(img):
+        f = s1(img)
+        r = s2(f)
+        p = s3(r[1], r[2])
+        c = s4(p[0], f)
+        d = s5(p[0], c[1], c[2])
+        m = s6(d[0], f)
+        return d, m
+
+    d, m = full(image)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        d, m = full(image)
+        jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"[staged e2e] {dt*1e3:.1f} ms/volume -> {1/dt:.2f} vol/s/chip "
+          f"@{size}^2x{depth}", flush=True)
+    print("det valid:", int(np.asarray(d[1]).sum()), "masks:", m.shape,
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
