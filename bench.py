@@ -47,8 +47,13 @@ def main():
     image = np.random.RandomState(0).randn(1, 128, 128, 128, 1).astype(
         np.float32)
 
-    variables = init_params(model, jax.random.PRNGKey(0))
-    fwd = jax.jit(lambda img: model.apply(variables, img, meta, anchors))
+    variables = jax.device_put(init_params(model, jax.random.PRNGKey(0)))
+    # variables as a jit argument: captured weights become HLO constants and
+    # exceed the axon remote-compile body limit (HTTP 413).
+    fwd_v = jax.jit(lambda v, img: model.apply(v, img, meta, anchors))
+
+    def fwd(img):
+        return fwd_v(variables, img)
 
     out = fwd(image)
     jax.block_until_ready(out)  # compile + first run

@@ -224,10 +224,15 @@ class MrcnnTrainer:
         gen = MrcnnGenerator(test_ds, cfg, mode="inference", shuffle=False)
 
         anchors = self.anchors
+        # variables as a jit argument (remote-compile constant-size limit).
+        variables_dev = jax.device_put(variables)
 
         @jax.jit
+        def infer_v(v, image, image_meta):
+            return model.apply(v, image, image_meta, anchors)
+
         def infer(image, image_meta):
-            return model.apply(variables, image, image_meta, anchors)
+            return infer_v(variables_dev, image, image_meta)
 
         out_dir = cfg.OUTPUT_DIR
         os.makedirs(out_dir, exist_ok=True)

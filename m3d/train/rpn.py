@@ -119,14 +119,17 @@ class RPNTrainer:
     def make_proposal_fn(self, variables):
         model = self.model
         anchors = self.anchors
+        # Pass variables as a jit argument — closing over them would embed
+        # the weights as HLO constants (fatal through remote compile).
+        variables = jax.device_put(variables)
 
         @jax.jit
-        def predict(image):
-            out = model.apply(variables, image, anchors,
+        def predict(v, image):
+            out = model.apply(v, image, anchors,
                               method=MaskRCNN.forward_rpn)
             return out["proposals"][0], out["proposals_valid"][0]
 
-        return predict
+        return lambda image: predict(variables, image)
 
     # ------------------------------------------------------------------
     def train(self, steps_per_epoch: int | None = None, eval_images: int = 8):
@@ -201,10 +204,12 @@ class RPNTrainer:
         model, anchors = self.model, self.anchors
         mask_shape = tuple(int(v) for v in cfg.MASK_SHAPE)
 
+        variables = jax.device_put(variables)
+
         @jax.jit
-        def targeting_step(key, image, image_meta, gt_class_ids, gt_boxes,
+        def targeting_step(v, key, image, image_meta, gt_class_ids, gt_boxes,
                            gt_masks):
-            out = model.apply(variables, image, anchors,
+            out = model.apply(v, image, anchors,
                               method=MaskRCNN.forward_rpn)
             proposals = out["proposals"]
             targets = detection_targets_batch(
@@ -248,7 +253,7 @@ class RPNTrainer:
                 batch = gen.get_batch([image_id])
                 key, sub = jax.random.split(key)
                 targets, ra, ma = targeting_step(
-                    sub, batch["image"], batch["image_meta"],
+                    variables, sub, batch["image"], batch["image_meta"],
                     batch["gt_class_ids"], batch["gt_boxes"],
                     batch["gt_masks"],
                 )

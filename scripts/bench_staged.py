@@ -47,14 +47,17 @@ def main():
     variables = init_params(model, jax.random.PRNGKey(0))
     print(f"[init] {time.perf_counter()-t0:.1f}s", flush=True)
 
-    s1 = jax.jit(lambda img: model.apply(variables, img,
-                                         method=MaskRCNN.extract_features))
-    s2 = jax.jit(lambda f: model.apply(variables, f,
-                                       method=MaskRCNN.rpn_forward))
-    s3 = jax.jit(lambda p, d: model.apply(variables, p, d, anchors,
-                                          method=MaskRCNN.propose))
-    s4 = jax.jit(lambda r, f: model.apply(variables, r, meta, f[:4],
-                                          method=MaskRCNN.classify_rois))
+    # CRITICAL for the axon tunnel: pass variables as jit ARGUMENTS, never
+    # close over them — captured params become HLO constants and blow the
+    # remote-compile request body (HTTP 413).
+    variables = jax.device_put(variables)
+    s1 = jax.jit(lambda v, img: model.apply(v, img,
+                                            method=MaskRCNN.extract_features))
+    s2 = jax.jit(lambda v, f: model.apply(v, f, method=MaskRCNN.rpn_forward))
+    s3 = jax.jit(lambda v, p, d: model.apply(v, p, d, anchors,
+                                             method=MaskRCNN.propose))
+    s4 = jax.jit(lambda v, r, f: model.apply(v, r, meta, f[:4],
+                                             method=MaskRCNN.classify_rois))
     import jax.numpy as jnp
 
     from m3d.models.detection import refine_detections_batch
@@ -63,8 +66,8 @@ def main():
         r, pr, bb, meta, jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),
         cfg.DETECTION_MIN_CONFIDENCE, cfg.DETECTION_NMS_THRESHOLD,
         int(cfg.DETECTION_MAX_INSTANCES)))
-    s6 = jax.jit(lambda d, f: model.apply(variables, d[..., :6], meta, f[:4],
-                                          method=MaskRCNN.mask_rois))
+    s6 = jax.jit(lambda v, d, f: model.apply(v, d[..., :6], meta, f[:4],
+                                             method=MaskRCNN.mask_rois))
 
     stages = []
 
@@ -73,24 +76,31 @@ def main():
         out = fn(*args)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
-        stages.append((name, dt))
-        print(f"[{name}] compile+run: {dt:.1f}s", flush=True)
+        # steady-state (post-compile) timing
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = fn(*args)
+            jax.block_until_ready(out)
+        run = (time.perf_counter() - t0) / 3
+        stages.append((name, dt, run))
+        print(f"[{name}] compile+run: {dt:.1f}s steady: {run*1e3:.1f}ms",
+              flush=True)
         return out
 
-    feats = timed("backbone+FPN", s1, image)
-    rpn = timed("RPN", s2, feats)
-    props = timed("proposal/NMS", s3, rpn[1], rpn[2])
-    cls = timed("roialign+classifier", s4, props[0], feats)
+    feats = timed("backbone+FPN", s1, variables, image)
+    rpn = timed("RPN", s2, variables, feats)
+    props = timed("proposal/NMS", s3, variables, rpn[1], rpn[2])
+    cls = timed("roialign+classifier", s4, variables, props[0], feats)
     det = timed("detection", s5, props[0], cls[1], cls[2])
-    masks = timed("mask-head", s6, det[0], feats)
+    masks = timed("mask-head", s6, variables, det[0], feats)
 
     def full(img):
-        f = s1(img)
-        r = s2(f)
-        p = s3(r[1], r[2])
-        c = s4(p[0], f)
+        f = s1(variables, img)
+        r = s2(variables, f)
+        p = s3(variables, r[1], r[2])
+        c = s4(variables, p[0], f)
         d = s5(p[0], c[1], c[2])
-        m = s6(d[0], f)
+        m = s6(variables, d[0], f)
         return d, m
 
     d, m = full(image)
