@@ -29,7 +29,7 @@ from m3d.models.fpn import FPN3D
 from m3d.models.heads import ClassifierHead, MaskHead
 from m3d.models.proposal import generate_proposals
 from m3d.models.rpn_head import RPNHead
-from m3d.ops.roialign3d import pyramid_roi_align
+from m3d.ops.roialign3d import pyramid_roi_align, pyramid_roi_align_auto
 
 Dtype = Any
 
@@ -184,13 +184,16 @@ class MaskRCNN(nn.Module):
         )
 
     def classify_rois(self, rois, image_meta, mrcnn_feature_maps):
-        aligned = pyramid_roi_align(
+        # Inference-only method: the auto dispatch picks the Pallas ROIAlign
+        # kernel on TPU. Training paths call pyramid_roi_align (XLA, with
+        # gradients) directly — see m3d/train/{head,mrcnn}.py.
+        aligned = pyramid_roi_align_auto(
             rois, image_meta, list(mrcnn_feature_maps), self.pool_size
         )
         return self.classifier(aligned)
 
     def mask_rois(self, rois, image_meta, mrcnn_feature_maps):
-        aligned = pyramid_roi_align(
+        aligned = pyramid_roi_align_auto(
             rois, image_meta, list(mrcnn_feature_maps), self.mask_pool_size
         )
         return self.mask_head(aligned)

@@ -191,7 +191,7 @@ def compute_roi_levels(boxes, image_shape, num_levels: int = 4):
     return lvl - 2
 
 
-def _axis_slab_weights(pos, dim, slab: int):
+def _axis_slab_weights(pos, dim, slab: int, align: int = 1, origin_dim=None):
     """Per-axis slab origin + interpolation weight matrix.
 
     pos: [N, p] absolute sample positions in level coordinates.
@@ -203,10 +203,20 @@ def _axis_slab_weights(pos, dim, slab: int):
     ~10-20 cells); longer spans clamp to the slab edge (approximation).
     """
     dim = jnp.asarray(dim, jnp.float32)[:, None]  # [N,1]
+    # origin_dim: extent usable for slab placement (the padded extent when
+    # the buffer is padded); interpolation validity still uses `dim`.
+    odim = dim[:, 0] if origin_dim is None else jnp.asarray(
+        origin_dim, jnp.float32)
     valid = jnp.logical_and(pos >= 0.0, pos <= dim - 1.0)
     pos_c = jnp.clip(pos, 0.0, dim - 1.0)
     origin = jnp.clip(jnp.floor(jnp.min(pos_c, axis=1)), 0.0,
-                      jnp.maximum(dim[:, 0] - slab, 0.0))  # [N]
+                      jnp.maximum(odim - slab, 0.0))  # [N]
+    if align > 1:
+        # TPU sublane tiling: dynamic slices on the second-to-last axis must
+        # start at a tile boundary; round down (slab is enlarged to cover).
+        origin = jnp.floor(origin / align) * align
+        max_o = jnp.floor(jnp.maximum(odim - slab, 0.0) / align) * align
+        origin = jnp.minimum(origin, max_o)
     rel = jnp.clip(pos_c - origin[:, None], 0.0, slab - 1.0)
     i0 = jnp.floor(rel)
     frac = rel - i0
@@ -220,31 +230,50 @@ def _axis_slab_weights(pos, dim, slab: int):
     return origin.astype(jnp.int32), w
 
 
+def slab_sizes(feature_maps, cap_yx: int = 32, cap_z: int = 64):
+    """Per-axis slab extents from the actual level dims.
+
+    A slab must cover an ROI's sample span on each axis to be exact. FPN
+    level routing bounds spans at ~20 cells for boxes at their proper level,
+    and boxes CLAMPED to the extreme levels can span at most that level's
+    full extent — so ``min(cap, max_dim_over_levels)`` is exact for every
+    realistic config (z-stride-1 pyramids keep z extent = IMAGE_DEPTH at all
+    levels, hence the larger z cap). Returns static ints (sy, sx, sz).
+    """
+    max_h = max(fm.shape[1] for fm in feature_maps)
+    max_w = max(fm.shape[2] for fm in feature_maps)
+    max_d = max(fm.shape[3] for fm in feature_maps)
+    return (min(cap_yx, max_h), min(cap_yx, max_w), min(cap_z, max_d))
+
+
 def _slab_interp(flat_values, base_flat_idx, dims, strides, positions,
-                 slab: int, chunk: int = 128):
+                 slab, chunk: int = 128):
     """Slab-gather + separable-matmul interpolation.
 
     Instead of 8 scattered corner gathers per sample point, each ROI reads
-    ONE [S,S,S,C] slab as S*S contiguous z-runs (fast on TPU) and three tiny
-    [p,S] weight matmuls contract it to [p,p,p,C] on the MXU. ~25 MFLOP/ROI,
-    sequentially chunked to bound the slab intermediate.
+    ONE [Sy,Sx,Sz,C] slab as Sy*Sx contiguous z-runs (fast on TPU) and three
+    tiny [p,S] weight matmuls contract it to [p,p,p,C] on the MXU.
+    ``slab``: int (same for all axes) or (sy, sx, sz).
     """
     n = positions[0].shape[0]
     c = flat_values.shape[-1]
     p_sizes = tuple(p.shape[1] for p in positions)
+    if isinstance(slab, int):
+        slab = (slab,) * 3
+    s_y, s_x, s_z = (int(v) for v in slab)
 
     hy, wx, dz = (jnp.asarray(d, jnp.float32) for d in dims)
     sy, sx, _ = (jnp.asarray(s, jnp.int32) for s in strides)
 
-    oy, wy = _axis_slab_weights(positions[0], hy, slab)
-    ox, wxm = _axis_slab_weights(positions[1], wx, slab)
-    oz, wz = _axis_slab_weights(positions[2], dz, slab)
+    oy, wy = _axis_slab_weights(positions[0], hy, s_y)
+    ox, wxm = _axis_slab_weights(positions[1], wx, s_x)
+    oz, wz = _axis_slab_weights(positions[2], dz, s_z)
 
     # Flat start (in elements) of each (y, x) z-run of the slab.
-    iy = jnp.minimum(oy[:, None] + jnp.arange(slab, dtype=jnp.int32),
-                     jnp.asarray(hy, jnp.int32)[:, None] - 1)  # [N,S]
-    ix = jnp.minimum(ox[:, None] + jnp.arange(slab, dtype=jnp.int32),
-                     jnp.asarray(wx, jnp.int32)[:, None] - 1)  # [N,S]
+    iy = jnp.minimum(oy[:, None] + jnp.arange(s_y, dtype=jnp.int32),
+                     jnp.asarray(hy, jnp.int32)[:, None] - 1)  # [N,Sy]
+    ix = jnp.minimum(ox[:, None] + jnp.arange(s_x, dtype=jnp.int32),
+                     jnp.asarray(wx, jnp.int32)[:, None] - 1)  # [N,Sx]
     starts = (
         base_flat_idx[:, None, None]
         + iy[:, :, None] * (sy[:, None, None] if sy.ndim else sy)
@@ -252,7 +281,7 @@ def _slab_interp(flat_values, base_flat_idx, dims, strides, positions,
         + oz[:, None, None]
     ) * c  # [N, S, S] element offsets into flat_values.reshape(-1)
     flat1 = flat_values.reshape(-1)
-    max_start = flat1.shape[0] - slab * c
+    max_start = flat1.shape[0] - s_z * c
     starts = jnp.clip(starts, 0, max_start)
 
     # Pad N to a chunk multiple and scan chunks.
@@ -264,10 +293,10 @@ def _slab_interp(flat_values, base_flat_idx, dims, strides, positions,
     num_chunks = (n + n_pad) // chunk
 
     def do_chunk(args):
-        st, a, bmat, cmat = args  # [chunk,S,S], [chunk,p,S] x3
+        st, a, bmat, cmat = args  # [chunk,Sy,Sx], [chunk,p,S*] x3
         take = jax.vmap(jax.vmap(jax.vmap(
-            lambda s: jax.lax.dynamic_slice(flat1, (s,), (slab * c,)))))
-        slab_v = take(st).reshape(chunk, slab, slab, slab, c)
+            lambda s: jax.lax.dynamic_slice(flat1, (s,), (s_z * c,)))))
+        slab_v = take(st).reshape(chunk, s_y, s_x, s_z, c)
         slab_f = slab_v.astype(jnp.float32)
         t1 = jnp.einsum("nps,nsxzc->npxzc", a, slab_f)
         t2 = jnp.einsum("nqx,npxzc->npqzc", bmat, t1)
@@ -275,7 +304,7 @@ def _slab_interp(flat_values, base_flat_idx, dims, strides, positions,
 
     out = jax.lax.map(
         do_chunk,
-        (starts_p.reshape(num_chunks, chunk, slab, slab),
+        (starts_p.reshape(num_chunks, chunk, s_y, s_x),
          wy_p.reshape(num_chunks, chunk, *wy.shape[1:]),
          wx_p.reshape(num_chunks, chunk, *wxm.shape[1:]),
          wz_p.reshape(num_chunks, chunk, *wz.shape[1:])),
@@ -284,9 +313,115 @@ def _slab_interp(flat_values, base_flat_idx, dims, strides, positions,
     return out.astype(flat_values.dtype)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("pool_size", "slab", "interpret")
+)
+def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
+                             slab=None, interpret: bool = False):
+    """Pallas-kernel pyramid ROIAlign (inference hot path).
+
+    Same semantics as pyramid_roi_align(method="trilinear"); one strided DMA
+    per ROI instead of XLA's serialized z-run gather. See
+    m3d/ops/pallas_roialign.py. Feature gradients are NOT defined here — use
+    the XLA path for training.
+    """
+    from m3d.ops.pallas_roialign import pallas_pyramid_roi_align
+
+    if isinstance(pool_size, int):
+        pool_size = (pool_size,) * 3
+    p = int(pool_size[0])
+
+    meta = parse_image_meta(image_meta)
+    image_shape = meta["image_shape"]
+    boxes = jax.lax.stop_gradient(jnp.asarray(boxes, jnp.float32))
+    bsz, n = boxes.shape[:2]
+    num_levels = len(feature_maps)
+
+    # Same box sanitation as the XLA path.
+    d_img = jnp.maximum(image_shape[:, 2:3], 1.0)
+    y1 = jnp.clip(boxes[..., 0], 0.0, 1.0)
+    x1 = jnp.clip(boxes[..., 1], 0.0, 1.0)
+    z1 = jnp.clip(boxes[..., 2], 0.0, 1.0)
+    y2 = jnp.maximum(jnp.clip(boxes[..., 3], 0.0, 1.0), y1 + 1e-6)
+    x2 = jnp.maximum(jnp.clip(boxes[..., 4], 0.0, 1.0), x1 + 1e-6)
+    z2 = jnp.maximum(jnp.clip(boxes[..., 5], 0.0, 1.0), z1 + 1.0 / d_img)
+    boxes = jnp.stack([y1, x1, z1, y2, x2, z2], axis=-1)
+
+    levels = compute_roi_levels(
+        boxes,
+        (image_shape[:, 0:1], image_shape[:, 1:2], image_shape[:, 2:3]),
+        num_levels,
+    )
+
+    # Per-axis slab extents from the actual level dims (exact coverage).
+    if slab is None:
+        slab = slab_sizes(feature_maps)
+    elif isinstance(slab, int):
+        slab = (slab,) * 3
+    s_y, s_x, slab_z = (int(v) for v in slab)
+    # z slabs must start at sublane-tile boundaries (8); when the slab can't
+    # cover the deepest level outright, enlarge it so 8-aligned origins
+    # still cover any in-slab span.
+    z_align = 8
+    max_d = max(fm.shape[3] for fm in feature_maps)
+    if slab_z < max_d:
+        slab_z += z_align
+    slab_z = slab_z + (-slab_z) % z_align
+
+    # Pad every level to >= the slab size per axis (weights use unpadded
+    # dims, so padding never leaks into outputs).
+    dims = jnp.asarray([fm.shape[1:4] for fm in feature_maps], jnp.int32)
+    padded = []
+    for fm in feature_maps:
+        _, hl, wl, dl, _ = fm.shape
+        dz_pad = max(0, slab_z - dl) + (-max(dl, slab_z)) % z_align
+        pads = [(0, 0), (0, max(0, s_y - hl)), (0, max(0, s_x - wl)),
+                (0, dz_pad), (0, 0)]
+        padded.append(jnp.pad(fm, pads) if any(pe for _, pe in pads) else fm)
+
+    boxes_f = boxes.reshape(bsz * n, 6)
+    levels_f = levels.reshape(bsz * n)
+    batch_f = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+    roi_dims = dims[levels_f]
+    hy = roi_dims[:, 0].astype(jnp.float32)
+    wx_d = roi_dims[:, 1].astype(jnp.float32)
+    dz = roi_dims[:, 2].astype(jnp.float32)
+
+    pos_y = _axis_positions(boxes_f[:, 0], boxes_f[:, 3], hy, p)
+    pos_x = _axis_positions(boxes_f[:, 1], boxes_f[:, 4], wx_d, p)
+    pos_z = _axis_positions(boxes_f[:, 2], boxes_f[:, 5], dz, p)
+    padded_dims = jnp.asarray([fm.shape[1:4] for fm in padded], jnp.int32)
+    roi_pdims = padded_dims[levels_f]
+    oy, wy = _axis_slab_weights(pos_y, hy, s_y,
+                                origin_dim=roi_pdims[:, 0])
+    ox, wx = _axis_slab_weights(pos_x, wx_d, s_x,
+                                origin_dim=roi_pdims[:, 1])
+    oz, wz = _axis_slab_weights(pos_z, dz, slab_z, align=z_align,
+                                origin_dim=roi_pdims[:, 2])
+    origins = jnp.stack([oy, ox, oz], axis=1)
+
+    out = pallas_pyramid_roi_align(
+        levels_f, batch_f, origins, wy, wx, wz, padded, p,
+        slab=(s_y, s_x, slab_z), interpret=interpret,
+    )
+    out = out.reshape(bsz, n, p, p, p, -1)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def pyramid_roi_align_auto(boxes, image_meta, feature_maps, pool_size,
+                           method: str = "trilinear"):
+    """Backend dispatch: the Pallas kernel on TPU (inference-only, no
+    gradients), the XLA slab path elsewhere / under differentiation."""
+    if method == "trilinear" and jax.default_backend() == "tpu":
+        return pyramid_roi_align_pallas(boxes, image_meta, feature_maps,
+                                        pool_size)
+    return pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
+                             method=method)
+
+
 @functools.partial(jax.jit, static_argnames=("pool_size", "method", "slab"))
 def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
-                      method: str = "trilinear", slab: int = 16):
+                      method: str = "trilinear", slab=None):
     """ROIAlign over an FPN pyramid with per-ROI level routing.
 
     Args:
@@ -366,7 +501,7 @@ def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
             strides=(roi_dims[:, 1] * roi_dims[:, 2], roi_dims[:, 2],
                      jnp.ones_like(roi_dims[:, 2])),
             positions=(pos_y, pos_x, pos_z),
-            slab=slab,
+            slab=slab if slab is not None else slab_sizes(feature_maps),
         )
     else:
         out = _gather_interp(

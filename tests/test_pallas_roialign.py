@@ -1,0 +1,63 @@
+"""Pallas ROIAlign kernel (interpret mode) vs the XLA path and oracle."""
+
+import numpy as np
+import pytest
+
+from m3d.config import Config
+from m3d.image_meta import default_meta
+from m3d.ops.roialign3d import (pyramid_roi_align, pyramid_roi_align_pallas,
+                                slab_sizes)
+
+
+def make_case(rng, c, depth, n=6):
+    cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=depth, NUM_CLASSES=2)
+    meta = default_meta(cfg)[None]
+    feats = [rng.randn(1, 16, 16, depth, c).astype(np.float32),
+             rng.randn(1, 8, 8, depth, c).astype(np.float32),
+             rng.randn(1, 4, 4, max(depth // 2, 1), c).astype(np.float32),
+             rng.randn(1, 2, 2, max(depth // 4, 1), c).astype(np.float32)]
+    lo = rng.uniform(0, 0.45, (1, n, 3)).astype(np.float32)
+    ext = rng.uniform(0.1, 0.5, (1, n, 3)).astype(np.float32)
+    boxes = np.concatenate([lo, np.minimum(lo + ext, 1.0)], -1)
+    return boxes, meta, feats
+
+
+@pytest.mark.parametrize("c,depth", [(8, 16), (256, 64), (128, 8)])
+def test_pallas_matches_xla(rng, c, depth):
+    boxes, meta, feats = make_case(rng, c, depth)
+    ref = np.asarray(pyramid_roi_align(boxes, meta, feats, 7))
+    got = np.asarray(
+        pyramid_roi_align_pallas(boxes, meta, feats, 7, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_slab_sizes_cover_levels(rng):
+    _, _, feats = make_case(rng, 8, 64)
+    sy, sx, sz = slab_sizes(feats)
+    assert sy == 16 and sx == 16 and sz == 64
+
+
+def test_deep_z_spans_are_exact(rng):
+    """Boxes spanning most of a z-stride-1 (deep) feature column — the case
+    a fixed 16-cell slab silently clamps."""
+    cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=64, NUM_CLASSES=2)
+    meta = default_meta(cfg)[None]
+    c = 8
+    feats = [rng.randn(1, 16, 16, 64, c).astype(np.float32),
+             rng.randn(1, 8, 8, 64, c).astype(np.float32),
+             rng.randn(1, 4, 4, 64, c).astype(np.float32),
+             rng.randn(1, 2, 2, 64, c).astype(np.float32)]
+    boxes = np.array([[[0.1, 0.1, 0.02, 0.4, 0.4, 0.95]]], np.float32)
+
+    # Oracle: direct crop from the routed level.
+    from m3d.ops.roialign3d import compute_roi_levels, crop_and_resize_3d
+
+    lv = int(np.asarray(compute_roi_levels(boxes, (64.0, 64.0, 64.0)))[0, 0])
+    direct = np.asarray(crop_and_resize_3d(
+        feats[lv], boxes[0], np.array([0], np.int32), (7, 7, 7)))
+    xla = np.asarray(pyramid_roi_align(boxes, meta, feats, 7))
+    pls = np.asarray(
+        pyramid_roi_align_pallas(boxes, meta, feats, 7, interpret=True))
+    np.testing.assert_allclose(xla[0, 0], direct[0], atol=1e-4)
+    np.testing.assert_allclose(pls[0, 0], direct[0], atol=1e-4)
