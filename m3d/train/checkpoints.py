@@ -56,6 +56,17 @@ def save_params(path: str, params, metadata: dict | None = None):
 
 
 def load_params(path: str):
+    """Load a checkpoint tree: m3d msgpack, or a reference Keras .h5
+    (transparently translated — every ``*_WEIGHTS`` config key accepts a
+    checkpoint trained by the reference implementation)."""
+    if path.endswith((".h5", ".hdf5")):
+        from m3d.utils.h5_import import load_keras_h5
+
+        src_params, src_stats = load_keras_h5(path)
+        tree = {"params": src_params}
+        if src_stats:
+            tree["batch_stats"] = src_stats
+        return tree, {"format": "keras_h5"}
     with open(path, "rb") as f:
         tree = serialization.msgpack_restore(f.read())
     meta = {}
@@ -157,6 +168,60 @@ def _try_class_slice(src: np.ndarray, dst: np.ndarray):
     sl = [slice(None)] * src.ndim
     sl[ax] = slice(0, dst.shape[ax])
     return src[tuple(sl)]
+
+
+def infer_head_params(path: str) -> dict:
+    """Recover head hyperparameters (POOL_SIZE, FPN_CLASSIF_FC_LAYERS_SIZE,
+    HEAD_CONV_CHANNEL, NUM_CLASSES, TOP_DOWN_PYRAMID_SIZE) from a checkpoint's
+    kernel shapes — the reference's H5 introspection that auto-adapts a config
+    to whatever head widths a checkpoint was trained with
+    (core/models.py:5144-5203, applied at build time 5496-5502).
+
+    Works on both reference .h5 files and m3d msgpack trees."""
+    if path.endswith((".h5", ".hdf5")):
+        from m3d.utils.h5_import import infer_head_params_from_h5
+
+        return infer_head_params_from_h5(path)
+    tree, _ = load_params(path)
+    flat = _flatten(tree)
+    found: dict = {}
+    for key, val in flat.items():
+        val = np.asarray(val)
+        if key.endswith("mrcnn_class_conv1/kernel") and val.ndim == 5:
+            found["POOL_SIZE"] = int(val.shape[0])
+            found["FPN_CLASSIF_FC_LAYERS_SIZE"] = int(val.shape[-1])
+            found["TOP_DOWN_PYRAMID_SIZE"] = int(val.shape[-2])
+        elif key.endswith("mrcnn_mask_conv1/kernel") and val.ndim == 5:
+            found["HEAD_CONV_CHANNEL"] = int(val.shape[-1])
+        elif key.endswith("mrcnn_class_logits/kernel") and val.ndim == 2:
+            found["NUM_CLASSES"] = int(val.shape[-1])
+    return found
+
+
+def autoconfigure_heads(config, paths, verbose: bool = True):
+    """Override config head hyperparameters from the first checkpoint that
+    declares them. Returns the set of overridden keys."""
+    overridden = set()
+    for path in paths:
+        if not path or not os.path.exists(path):
+            continue
+        try:
+            found = infer_head_params(path)
+        except Exception as e:  # noqa: BLE001 — introspection is best-effort
+            if verbose:
+                print(f"[autoconfigure_heads] {path}: {e}")
+            continue
+        for key, val in found.items():
+            if key in overridden:
+                continue
+            cur = getattr(config, key, None)
+            if cur is not None and int(cur) != val:
+                if verbose:
+                    print(f"[autoconfigure_heads] {key}: config {cur} -> "
+                          f"checkpoint {val} ({os.path.basename(path)})")
+                setattr(config, key, val)
+            overridden.add(key)
+    return overridden
 
 
 class BestAndLatest:

@@ -34,7 +34,8 @@ from m3d.models.detection_targets import detection_targets_batch
 from m3d.models.mask_rcnn import MaskRCNN, init_params
 from m3d.ops.roialign3d import pyramid_roi_align
 from m3d.parallel.mesh import make_mesh, shard_batch
-from m3d.train.checkpoints import BestAndLatest, load_params, restore_by_name
+from m3d.train.checkpoints import (BestAndLatest, autoconfigure_heads,
+                                   load_params, restore_by_name)
 from m3d.train.head import head_losses
 from m3d.train.optim import apply_constraints, build_optimizer, EarlyStopping
 from m3d.train.telemetry import Telemetry
@@ -56,6 +57,12 @@ def _freeze_predicate(learning_layers: str):
 class MrcnnTrainer:
     def __init__(self, config):
         self.config = config
+        # Adapt head hyperparameters to whatever widths the checkpoints were
+        # trained with (reference H5 introspection, core/models.py:5496-5502).
+        autoconfigure_heads(config, [
+            getattr(config, "HEAD_WEIGHTS", None),
+            getattr(config, "MASK_WEIGHTS", None),
+        ])
         self.telemetry = Telemetry(config)
         self.mesh = make_mesh(config)
         self.anchors = normalized_pyramid_anchors(

@@ -1,0 +1,64 @@
+"""MRCNN_EVALUATION end-to-end smoke: inference + metrics + artifacts
+(TIFF label volume, boxes CSV, overlay PNG, summary with confidence
+histogram) on tiny synthetic data with randomly-initialized weights —
+the artifact/metric contract of the reference's evaluate loop
+(core/models.py:6338-7196)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from m3d.data import synthetic
+
+from tests.test_train_smoke import tiny_train_config
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("eval_data"))
+    synthetic.generate_experiment(2, 64, d, seed=11, image_depth=8)
+    synthetic.split_dataset(d, test_ratio=0.5)
+    return d
+
+
+def test_evaluate_writes_artifacts_and_summary(data_dir):
+    from m3d.train.mrcnn import MrcnnTrainer
+
+    cfg = tiny_train_config(
+        data_dir,
+        MODE="inference",
+        DETECTION_MIN_CONFIDENCE=0.0,
+        DETECTION_NMS_THRESHOLD=0.9,
+        DETECTION_MAX_INSTANCES=8,
+        MIN_ROI_SIZE=0,
+        OUTPUT_DIR=os.path.join(data_dir, "eval_out"),
+    )
+    trainer = MrcnnTrainer(cfg)
+    summary, per_image = trainer.evaluate(max_images=1)
+
+    assert per_image, "no image evaluated"
+    res = per_image[0]
+    for key in ("pixel_f1", "pixel_iou", "instance_dice", "det_tp",
+                "det_fp", "det_fn", "n_gt"):
+        assert key in res
+    assert res["n_gt"] > 0
+
+    for key in ("pixel_f1", "det_precision", "det_recall"):
+        assert key in summary
+    if res["scores"]:
+        assert "confidence_hist" in summary
+        assert 0.0 <= summary["recommended_confidence"] <= 1.0
+
+    out = cfg.OUTPUT_DIR
+    name = "000000"
+    assert os.path.exists(os.path.join(out, f"{name}.csv"))
+    assert os.path.exists(os.path.join(out, f"{name}.tiff"))
+    # Label volume round-trips and has only small non-negative labels.
+    from m3d.utils.tiffio import imread_volume
+
+    vol = imread_volume(os.path.join(out, f"{name}.tiff"))
+    assert vol.shape == (8, 64, 64)  # (Z, Y, X) pages
+    assert vol.min() >= 0
+    overlay = os.path.join(out, "overlays", f"{name}_masks_overlay.png")
+    assert os.path.exists(overlay)
