@@ -33,17 +33,28 @@ class FPN3D(nn.Module):
     channels: int = 256
     p6_stride: tuple[int, int, int] = (2, 2, 1)
     dtype: Dtype = jnp.bfloat16
+    # Top-down upsample factors (P5->P4, P4->P3, P3->P2) = consecutive
+    # BACKBONE_STRIDES ratios; (2,2,1) matches the reference's hardcoded
+    # UpSampling3D, z-strided/isotropic pyramids get their true factors.
+    upsample_factors: tuple = ((2, 2, 1), (2, 2, 1), (2, 2, 1))
 
     @nn.compact
     def __call__(self, c2, c3, c4, c5):
         conv1 = lambda n: nn.Conv(self.channels, (1, 1, 1), dtype=self.dtype, name=n)  # noqa: E731
         conv3 = lambda n: nn.Conv(self.channels, (3, 3, 3), padding="SAME",  # noqa: E731
                                   dtype=self.dtype, name=n)
+        f54, f43, f32 = self.upsample_factors
+
+        def up_to(x, factors, ref):
+            # ceil-division level shapes can leave the upsampled map one
+            # voxel larger than the lateral on non-divisible dims; crop.
+            x = _upsample(x, factors)
+            return x[:, : ref.shape[1], : ref.shape[2], : ref.shape[3], :]
 
         p5 = conv1("fpn_c5p5")(c5)
-        p4 = _upsample(p5, (2, 2, 1)) + conv1("fpn_c4p4")(c4)
-        p3 = _upsample(p4, (2, 2, 1)) + conv1("fpn_c3p3")(c3)
-        p2 = _upsample(p3, (2, 2, 1)) + conv1("fpn_c2p2")(c2)
+        p4 = up_to(p5, f54, c4) + conv1("fpn_c4p4")(c4)
+        p3 = up_to(p4, f43, c3) + conv1("fpn_c3p3")(c3)
+        p2 = up_to(p3, f32, c2) + conv1("fpn_c2p2")(c2)
 
         p2 = conv3("fpn_p2")(p2)
         p3 = conv3("fpn_p3")(p3)

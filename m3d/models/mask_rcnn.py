@@ -49,10 +49,11 @@ def init_params(model: "MaskRCNN", key, num_classes: int | None = None,
     from m3d.image_meta import default_meta
 
     nc = num_classes or model.num_classes
+    # The tiny config must share the model's true stride pyramid so the
+    # anchor grid matches the traced network.
     tiny = Config(
         IMAGE_SIZE=64, IMAGE_DEPTH=8, NUM_CLASSES=nc,
-        BACKBONE_STRIDES=[(4, 4, 1), (8, 8, 1), (16, 16, 1), (32, 32, 1),
-                          (64, 64, model.p6_stride[2])],
+        BACKBONE_STRIDES=[list(s) for s in model.backbone_strides],
         RPN_ANCHOR_SCALES=tuple(8 * (i + 1) for i in range(5)),
         RPN_ANCHOR_RATIOS=[1.0] * model.num_ratios,
     )
@@ -79,6 +80,8 @@ class MaskRCNN(nn.Module):
     head_conv_channel: int = 256
     num_ratios: int = 5
     anchor_stride: int = 1
+    backbone_strides: tuple = ((4, 4, 1), (8, 8, 1), (16, 16, 1),
+                               (32, 32, 1), (64, 64, 1))
     p6_stride: tuple = (2, 2, 1)
     image_depth: int = 12
     # Proposal / detection hyperparameters (static per-build)
@@ -124,6 +127,9 @@ class MaskRCNN(nn.Module):
             head_conv_channel=int(config.HEAD_CONV_CHANNEL),
             num_ratios=len(config.RPN_ANCHOR_RATIOS),
             anchor_stride=int(config.RPN_ANCHOR_STRIDE),
+            backbone_strides=tuple(
+                tuple(int(v) for v in s) for s in strides
+            ),
             p6_stride=p6_stride,
             image_depth=int(config.IMAGE_DEPTH),
             rpn_bbox_std_dev=tuple(float(v) for v in config.RPN_BBOX_STD_DEV),
@@ -146,8 +152,15 @@ class MaskRCNN(nn.Module):
         return cls(**kw)
 
     def setup(self):
-        self.resnet = ResNet3D(self.backbone, self.train_bn, self.dtype)
-        self.fpn = FPN3D(self.top_down_pyramid_size, self.p6_stride, self.dtype)
+        s = self.backbone_strides
+        up = tuple(
+            tuple(s[i + 1][a] // s[i][a] for a in range(3))
+            for i in (2, 1, 0)  # P5->P4, P4->P3, P3->P2
+        )
+        self.resnet = ResNet3D(self.backbone, self.train_bn, self.dtype,
+                               level_strides=s)
+        self.fpn = FPN3D(self.top_down_pyramid_size, self.p6_stride,
+                         self.dtype, upsample_factors=up)
         self.rpn = RPNHead(self.num_ratios, self.anchor_stride, self.dtype)
         self.classifier = ClassifierHead(
             self.pool_size, self.num_classes, self.fc_layers_size,

@@ -16,6 +16,7 @@ if "axon" in os.environ.get("PYTHONPATH", "") and \
     env["PYTHONPATH"] = "/root/repo"
     env["JAX_PLATFORMS"] = "cpu"
     env["_M3D_TEST_REEXEC"] = "1"
+    env["PYTHONUNBUFFERED"] = "1"  # keep progress streaming through pipes
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:],
