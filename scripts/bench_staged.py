@@ -27,16 +27,30 @@ from m3d.models.mask_rcnn import MaskRCNN, init_params  # noqa: E402
 def main():
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     depth = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    zs = max(1, depth // 64)
-    cfg = Config(
-        IMAGE_SIZE=size, IMAGE_DEPTH=depth,
-        BACKBONE_STRIDES=[(4, 4, 1), (8, 8, 1), (16, 16, 1), (32, 32, 1),
-                          (64, 64, zs)],
-        RPN_ANCHOR_SCALES=(8, 16, 24, 32, 48),
-        RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
-        PRE_NMS_LIMIT=4000, POST_NMS_ROIS_INFERENCE=500,
-        DETECTION_MAX_INSTANCES=20,
-    )
+    iso = "--iso" in sys.argv
+    if iso:
+        # bench.py's isotropic-pyramid config (deep isotropic volumes).
+        cfg = Config(
+            IMAGE_SIZE=size, IMAGE_DEPTH=depth,
+            BACKBONE_STRIDES=[(4, 4, 4), (8, 8, 8), (16, 16, 16),
+                              (32, 32, 32), (64, 64, 64)],
+            RPN_ANCHOR_SCALES=(16, 24, 32, 48, 64),
+            RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
+            PRE_NMS_LIMIT=6000, POST_NMS_ROIS_INFERENCE=500,
+            DETECTION_MAX_INSTANCES=50,
+            FPN_CLASSIF_FC_LAYERS_SIZE=512,
+        )
+    else:
+        zs = max(1, depth // 64)
+        cfg = Config(
+            IMAGE_SIZE=size, IMAGE_DEPTH=depth,
+            BACKBONE_STRIDES=[(4, 4, 1), (8, 8, 1), (16, 16, 1), (32, 32, 1),
+                              (64, 64, zs)],
+            RPN_ANCHOR_SCALES=(8, 16, 24, 32, 48),
+            RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
+            PRE_NMS_LIMIT=4000, POST_NMS_ROIS_INFERENCE=500,
+            DETECTION_MAX_INSTANCES=20,
+        )
     model = MaskRCNN.from_config(cfg, mode="inference")
     anchors = normalized_pyramid_anchors(cfg)
     meta = default_meta(cfg)[None]
