@@ -65,11 +65,13 @@ def main():
     out = fwd(image)
     jax.block_until_ready(out)  # compile + first run
 
-    iters = 5
+    # Steady-state throughput: enqueue all batches, block once. JAX async
+    # dispatch keeps the device busy while the (single-core) host dispatches
+    # the next step — per-iteration blocking would serialize host and device.
+    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(image)
-        jax.block_until_ready(out)
+    outs = [fwd(image) for _ in range(iters)]
+    jax.block_until_ready(outs[-1])
     dt = (time.perf_counter() - t0) / iters
 
     value = batch / dt

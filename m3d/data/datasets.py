@@ -157,6 +157,15 @@ class ToyDataset(Dataset):
             # (reference: core/data_generators.py:1648).
             boxes = cabs[:, [2, 3, 1, 5, 6, 4]]
             class_ids = cabs[:, 0]
+            # The synthetic generator writes shape classes 1..3 while most
+            # configs declare a single foreground class (NUM_CLASSES=2). The
+            # reference feeds the raw ids into a 2-class head — an
+            # out-of-bounds gather (latent bug: generate_data.py:88 vs
+            # configs NUM_CLASSES=2). We fold extra ids into the last
+            # registered class instead.
+            nc = getattr(self, "num_classes", 0)
+            if nc:
+                class_ids = np.clip(class_ids, 0, nc - 1)
             valid = (
                 (boxes[:, 3] > boxes[:, 0])
                 & (boxes[:, 4] > boxes[:, 1])

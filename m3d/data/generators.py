@@ -138,6 +138,11 @@ class RPNGenerator:
         }
 
     def __iter__(self):
+        if len(self._order) < self.batch_size:
+            raise ValueError(
+                f"dataset has {len(self._order)} images < batch_size "
+                f"{self.batch_size}: no batch can ever be formed"
+            )
         while True:
             if self.shuffle:
                 self.rng.shuffle(self._order)
@@ -282,6 +287,12 @@ class HeadGenerator:
         return out
 
     def __iter__(self):
+        if len(self._order) < self.batch_size:
+            raise ValueError(
+                f"head-target dataset has {len(self._order)} images < "
+                f"batch_size {self.batch_size}: no batch can ever be formed "
+                "(was target generation run, and did it keep any images?)"
+            )
         while True:
             if self.shuffle:
                 self.rng.shuffle(self._order)

@@ -111,6 +111,9 @@ def mrcnn_class_loss(target_class_ids, pred_class_logits, active_class_ids,
     target = jnp.asarray(target_class_ids, jnp.int32)
     logits = jnp.clip(jnp.asarray(pred_class_logits, jnp.float32), -10.0, 10.0)
     b, t, c = logits.shape
+    # Out-of-range class ids (e.g. multi-class synthetic data with a
+    # single-class config) would make the gathers below undefined.
+    target = jnp.clip(target, 0, c - 1)
 
     # Background column always active (core/models.py:1691-1695).
     active = jnp.asarray(active_class_ids, jnp.float32)
@@ -160,6 +163,7 @@ def mrcnn_bbox_loss(target_bbox, target_class_ids, pred_bbox):
     target = jnp.asarray(target_bbox, jnp.float32)
     cls = jnp.asarray(target_class_ids, jnp.int32)
     pred = jnp.asarray(pred_bbox, jnp.float32)
+    cls = jnp.clip(cls, 0, pred.shape[2] - 1)
 
     pred_cls = jnp.take_along_axis(
         pred, cls[..., None, None].repeat(6, axis=-1), axis=2
@@ -197,6 +201,7 @@ def mrcnn_mask_loss(target_masks, target_class_ids, pred_masks,
     yt = yt.reshape(b, t, v)
     c = yp.shape[-1]
     yp = yp.reshape(b, t, v, c)
+    cls = jnp.clip(cls, 0, c - 1)
     yp_cls = jnp.take_along_axis(
         yp, cls[..., None, None].repeat(v, axis=2), axis=3
     )[..., 0]  # [B, T, V]

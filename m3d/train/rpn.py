@@ -195,8 +195,16 @@ class RPNTrainer:
         return {"params": params, "batch_stats": batch_stats}, history
 
     # ------------------------------------------------------------------
-    def head_target_generation(self, variables=None, max_images=None):
-        """Generate + save head-training targets (core/models.py:3530-3796)."""
+    def head_target_generation(self, variables=None, max_images=None,
+                               inject_gt: bool = False):
+        """Generate + save head-training targets (core/models.py:3530-3796).
+
+        ``inject_gt=True`` prepends the GT boxes to the RPN proposals before
+        target sampling, guaranteeing positive targets regardless of RPN
+        quality. Not in the reference (which always targets with a converged
+        RPN); used by the smoke tests to validate the head-target pipeline
+        without a long RPN training run.
+        """
         cfg = self.config
         if variables is None:
             variables = self.init_variables()
@@ -212,6 +220,12 @@ class RPNTrainer:
             out = model.apply(v, image, anchors,
                               method=MaskRCNN.forward_rpn)
             proposals = out["proposals"]
+            if inject_gt:
+                # GT rows first (padding rows are all-zero and get trimmed by
+                # detection_targets); tail proposals drop to keep the shape.
+                proposals = jnp.concatenate(
+                    [gt_boxes, proposals], axis=1
+                )[:, :proposals.shape[1]]
             targets = detection_targets_batch(
                 key, proposals, gt_class_ids, gt_boxes, gt_masks,
                 jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),

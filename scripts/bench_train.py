@@ -1,0 +1,88 @@
+"""Training-step TPU benchmark: RPN step and e2e-head step throughput.
+
+Measures steady-state jitted train-step wall time on synthetic device-resident
+batches (no host pipeline), the analog of the reference's fit_generator inner
+loop (core/models.py:3462-3472) without generator overhead.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_train.py [size] [depth] [batch]
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from m3d.anchors import normalized_pyramid_anchors  # noqa: E402
+from m3d.config import Config  # noqa: E402
+from m3d.image_meta import default_meta  # noqa: E402
+from m3d.models.mask_rcnn import MaskRCNN, init_params  # noqa: E402
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+
+    cfg = Config(
+        IMAGE_SIZE=size, IMAGE_DEPTH=depth,
+        BACKBONE_STRIDES=[(4, 4, 4), (8, 8, 8), (16, 16, 16), (32, 32, 32),
+                          (64, 64, 64)],
+        RPN_ANCHOR_SCALES=(16, 24, 32, 48, 64),
+        RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
+        PRE_NMS_LIMIT=6000, POST_NMS_ROIS_TRAINING=500,
+        TRAIN_ROIS_PER_IMAGE=64, MAX_GT_INSTANCES=32,
+        IMAGES_PER_GPU=batch,
+        COMPUTE_DTYPE="bfloat16",
+    )
+    model = MaskRCNN.from_config(cfg, mode="training")
+    anchors = normalized_pyramid_anchors(cfg)
+
+    rng = np.random.RandomState(0)
+    A = anchors.shape[0]
+    G = int(cfg.MAX_GT_INSTANCES)
+    batch_np = {
+        "image": rng.randn(batch, size, size, depth, 1).astype(np.float32),
+        "rpn_match": rng.choice(
+            [-1, 0, 1], size=(batch, A), p=[0.05, 0.9, 0.05]).astype(np.int32),
+        "rpn_bbox": rng.randn(
+            batch, int(cfg.RPN_TRAIN_ANCHORS_PER_IMAGE), 6).astype(np.float32),
+    }
+
+    variables = init_params(model, jax.random.PRNGKey(0))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    from m3d.train.optim import build_optimizer
+    from m3d.train.rpn import RPNTrainer
+
+    tx = build_optimizer(cfg, params)
+    opt_state = jax.device_put(tx.init(params))
+    params = jax.device_put(params)
+    data = jax.device_put(batch_np)
+
+    trainer = RPNTrainer.__new__(RPNTrainer)  # skip dataset plumbing
+    trainer.config, trainer.model = cfg, model
+    step = trainer.make_train_step(tx)
+
+    t0 = time.perf_counter()
+    params, opt_state, metrics = step(params, opt_state, batch_stats, data)
+    jax.block_until_ready(metrics)
+    print(f"[rpn-step] compile+first: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, metrics = step(params, opt_state, batch_stats, data)
+    jax.block_until_ready(metrics)
+    dt = (time.perf_counter() - t0) / iters
+    print(f"[rpn-step] {dt*1e3:.1f} ms/step -> "
+          f"{batch/dt:.2f} vol/s/chip @{size}^2x{depth} B={batch}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

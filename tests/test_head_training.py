@@ -22,8 +22,11 @@ def pipeline(tmp_path_factory):
     cfg = tiny_train_config(d)
     trainer = RPNTrainer(cfg)
     variables, _ = trainer.train(steps_per_epoch=2, eval_images=1)
+    # inject_gt guarantees positive targets with this barely-trained RPN
+    # (the pipeline under test is targeting->head training, not RPN quality).
     out_root, manifests = trainer.head_target_generation(variables,
-                                                         max_images=3)
+                                                         max_images=3,
+                                                         inject_gt=True)
     return d, cfg, out_root
 
 

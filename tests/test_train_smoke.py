@@ -79,7 +79,7 @@ def test_rpn_training_runs_and_logs(trained):
 def test_target_generation_artifacts(trained, data_dir):
     cfg, trainer, variables, history = trained
     out_root, manifests = trainer.head_target_generation(
-        variables, max_images=2
+        variables, max_images=2, inject_gt=True
     )
     import pandas as pd
 
