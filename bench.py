@@ -50,31 +50,51 @@ def main():
     image = np.random.RandomState(0).randn(batch, 128, 128, 128, 1).astype(
         np.float32)
 
+    import jax.numpy as jnp
+    from jax import lax
+
     variables = jax.device_put(init_params(model, jax.random.PRNGKey(0)))
     # Input resides in HBM before timing: the generators double-buffer
     # host->device prefetch (m3d/data/generators.py prefetch_to_device), so
     # steady-state inference never waits on the host upload.
     image = jax.device_put(image)
-    # variables as a jit argument: captured weights become HLO constants and
-    # exceed the axon remote-compile body limit (HTTP 413).
-    fwd_v = jax.jit(lambda v, img: model.apply(v, img, meta, anchors))
 
-    def fwd(img):
-        return fwd_v(variables, img)
+    # Honest device-time measurement on the axon remote runtime, which
+    # (a) memoizes repeated (executable, args) dispatches and (b) treats
+    # block_until_ready as a handle check — only a host data fetch forces
+    # execution. So: run the full inference N times inside ONE jit as a
+    # data-dependent lax.scan chain (each iteration perturbs the input with
+    # a scalar derived from the previous output), return a scalar the host
+    # reads, and cancel the fixed ~30ms call/fetch overhead with the slope
+    # between two chain lengths. Verified on this tunnel with a bf16 matmul
+    # chain: 191 TFLOP/s ~= v5e peak, i.e. the slope is pure device time.
+    # variables stay a jit argument: captured weights become HLO constants
+    # and exceed the axon remote-compile body limit (HTTP 413).
+    def chained(n):
+        # The apply reads weights and image from jit ARGUMENTS — closing
+        # over them would bake giant HLO constants into the remote compile.
+        def body_arg(v, img0, carry):
+            out = model.apply(v, img0 + carry, meta, anchors)
+            s = (jnp.sum(out["detections"]) + jnp.sum(
+                out["mrcnn_masks"].astype(jnp.float32))) * 1e-12
+            return s.astype(jnp.float32)
 
-    out = fwd(image)
-    jax.block_until_ready(out)  # compile + first run
+        f = jax.jit(lambda v, img0: lax.scan(
+            lambda c, _: (body_arg(v, img0, c), None),
+            jnp.float32(0.0), None, length=n)[0])
+        float(f(variables, image))  # compile
+        ts = []
+        for i in range(1, 4):
+            img_i = image + np.float32(i) * 1e-6
+            float(jnp.sum(img_i[0, 0, 0, :2, 0]))  # materialize input
+            t0 = time.perf_counter()
+            float(f(variables, img_i))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-    # Steady-state throughput: enqueue all batches, block once. JAX async
-    # dispatch keeps the device busy while the (single-core) host dispatches
-    # the next step — per-iteration blocking would serialize host and device.
-    iters = 10
-    t0 = time.perf_counter()
-    outs = [fwd(image) for _ in range(iters)]
-    jax.block_until_ready(outs[-1])
-    dt = (time.perf_counter() - t0) / iters
-
-    value = batch / dt
+    t2, t8 = chained(2), chained(8)
+    dt = max((t8 - t2) / 6, 1e-9) / batch
+    value = 1.0 / dt
     print(json.dumps({
         "metric": "mrcnn_inference_volumes_per_sec_per_chip_128cubed",
         "value": round(value, 4),
