@@ -24,6 +24,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from m3d.ops.conv3d import ZConv
+
 Dtype = Any
 
 
@@ -67,7 +69,7 @@ class Bottleneck(nn.Module):
         f1, f2, f3 = self.filters
         cname = f"res{self.stage}{self.block}_branch"
         bname = f"bn{self.stage}{self.block}_branch"
-        conv = lambda f, k, s, n, p="SAME": nn.Conv(  # noqa: E731
+        conv = lambda f, k, s, n, p="SAME": ZConv(  # noqa: E731
             f, (k, k, k), strides=s, padding=p, dtype=self.dtype, name=n
         )
 
@@ -138,8 +140,8 @@ class ResNet3D(nn.Module):
         stem_s, pool_s, s3, s4, s5 = stage_strides(self.level_strides)
 
         # Stage 1: pad 3, conv 7^3, bn, relu, maxpool.
-        x = nn.Conv(64, (7, 7, 7), strides=stem_s,
-                    padding=[(3, 3)] * 3, dtype=self.dtype, name="conv1")(x)
+        x = ZConv(64, (7, 7, 7), strides=stem_s,
+                  padding=[(3, 3)] * 3, dtype=self.dtype, name="conv1")(x)
         x = BNRelu(name_bn="bn_conv1", train_bn=self.train_bn, dtype=self.dtype)(x)
         c1 = x = nn.max_pool(x, (3, 3, 3), strides=pool_s, padding="SAME")
 

@@ -18,6 +18,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from m3d.ops.conv3d import ZConv
+
 Dtype = Any
 
 
@@ -41,8 +43,8 @@ class FPN3D(nn.Module):
     @nn.compact
     def __call__(self, c2, c3, c4, c5):
         conv1 = lambda n: nn.Conv(self.channels, (1, 1, 1), dtype=self.dtype, name=n)  # noqa: E731
-        conv3 = lambda n: nn.Conv(self.channels, (3, 3, 3), padding="SAME",  # noqa: E731
-                                  dtype=self.dtype, name=n)
+        conv3 = lambda n: ZConv(self.channels, (3, 3, 3), padding="SAME",  # noqa: E731
+                                dtype=self.dtype, name=n)
         f54, f43, f32 = self.upsample_factors
 
         def up_to(x, factors, ref):

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from m3d.ops.conv3d import ZConv
+
 Dtype = Any
 
 FG_PRIOR = 0.15
@@ -59,8 +61,8 @@ class ClassifierHead(nn.Module):
         x = x.reshape(b * t, *x.shape[2:]).astype(self.dtype)
 
         p = self.pool_size
-        x = nn.Conv(self.fc_layers_size, (p, p, p), padding="VALID",
-                    dtype=self.dtype, name="mrcnn_class_conv1")(x)
+        x = ZConv(self.fc_layers_size, (p, p, p), padding="VALID",
+                  dtype=self.dtype, name="mrcnn_class_conv1")(x)
         x = nn.BatchNorm(use_running_average=not self.train_bn, momentum=0.9,
                          dtype=self.dtype, name="mrcnn_class_bn1")(x)
         x = nn.relu(x)
@@ -106,9 +108,9 @@ class MaskHead(nn.Module):
         cc = self.conv_channel
 
         def conv_bn_relu(x, name_c, name_b, dilation=1):
-            x = nn.Conv(cc, (3, 3, 3), padding="SAME",
-                        kernel_dilation=(dilation,) * 3,
-                        dtype=self.dtype, name=name_c)(x)
+            x = ZConv(cc, (3, 3, 3), padding="SAME",
+                      kernel_dilation=(dilation,) * 3,
+                      dtype=self.dtype, name=name_c)(x)
             x = nn.BatchNorm(use_running_average=not self.train_bn,
                              dtype=self.dtype, name=name_b)(x)
             return nn.relu(x)

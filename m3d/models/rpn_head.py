@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from m3d.ops.conv3d import ZConv
+
 Dtype = Any
 
 
@@ -29,8 +31,8 @@ class RPNHead(nn.Module):
         k = self.anchors_per_location
         s = (self.anchor_stride,) * 3
         shared = nn.relu(
-            nn.Conv(512, (3, 3, 3), strides=s, padding="SAME",
-                    dtype=self.dtype, name="rpn_conv_shared1")(feature_map)
+            ZConv(512, (3, 3, 3), strides=s, padding="SAME",
+                  dtype=self.dtype, name="rpn_conv_shared1")(feature_map)
         )
         shared = nn.relu(
             nn.Conv(256, (1, 1, 1), dtype=self.dtype,

@@ -1,0 +1,160 @@
+"""TPU-fast 3D convolution via kz-decomposition into 2D convolutions.
+
+XLA:TPU's direct 3D convolution runs near MXU peak on isotropic activation
+shapes but collapses on shallow-z anisotropic shapes — e.g. a 3^3 conv
+256->512 on (64,64,12) achieves ~26 TFLOP/s direct vs ~117 TFLOP/s when
+decomposed (measured on v5e, scripts/bench_aniso_conv.py). Shallow-z is the
+*normal* regime for this framework: the reference keeps z-stride 1 through
+the trunk for anisotropic microscopy (BACKBONE_STRIDES z=1, reference
+core/models.py:235-273), so every pyramid level is (H,W,12)-shaped.
+
+The decomposition is exact: a (kh,kw,kd) conv equals the sum over kz of a
+(kh,kw) 2D conv of the kz-th kernel z-slab applied to the z-shifted input,
+with the (batch, z) axes folded into the 2D conv's batch dimension. All
+reassociation happens in f32 accumulation inside the conv, so results match
+the direct path to normal bf16/f32 tolerance.
+
+``conv3d`` dispatches: z-decomposition when the z-kernel extent > 1 on TPU
+backends, direct ``lax.conv_general_dilated`` otherwise (CPU tests, 1^3
+convs). ``ZConv`` is a drop-in flax module with nn.Conv's parameter naming
+("kernel" [kh,kw,kd,Cin,Cout], "bias" [Cout]) so checkpoints and the
+reference-keyed param tree are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Dtype = Any
+
+DN3 = ("NHWDC", "HWDIO", "NHWDC")
+DN2 = ("NHWC", "HWIO", "NHWC")
+
+
+def _norm_padding(padding, kernel_size, strides, in_sizes, dilation):
+    """Resolve SAME/VALID/explicit padding to per-axis (lo, hi) pairs.
+
+    kernel_size here means the *effective* extent (k-1)*dilation + 1.
+    """
+    eff = [(k - 1) * dl + 1 for k, dl in zip(kernel_size, dilation)]
+    if isinstance(padding, str):
+        if padding.upper() == "VALID":
+            return [(0, 0)] * 3
+        if padding.upper() != "SAME":
+            raise ValueError(f"unsupported padding {padding!r}")
+        pads = []
+        for k, s, n in zip(eff, strides, in_sizes):
+            out = -(-n // s)  # ceil
+            total = max((out - 1) * s + k - n, 0)
+            pads.append((total // 2, total - total // 2))
+        return pads
+    return [tuple(p) for p in padding]
+
+
+def conv3d_direct(x, kernel, strides=(1, 1, 1), padding="SAME",
+                  kernel_dilation=(1, 1, 1), preferred_element_type=None):
+    dn = lax.conv_dimension_numbers(x.shape, kernel.shape, DN3)
+    return lax.conv_general_dilated(
+        x, kernel, tuple(strides), padding, dimension_numbers=dn,
+        rhs_dilation=tuple(kernel_dilation),
+        preferred_element_type=preferred_element_type)
+
+
+def conv3d_zdec(x, kernel, strides=(1, 1, 1), padding="SAME",
+                kernel_dilation=(1, 1, 1), preferred_element_type=None):
+    """Exact (kh,kw,kd) conv as sum of kd 2D convs over (batch*z).
+
+    x: [B,H,W,D,C], kernel: [kh,kw,kd,Cin,Cout] -> [B,H',W',D',Cout].
+    """
+    b, h, w, d, cin = x.shape
+    kh, kw, kd, _, cout = kernel.shape
+    sy, sx, sz = (int(s) for s in strides)
+    dy, dx, dz = (int(v) for v in kernel_dilation)
+    (py, pyh), (px, pxh), (pz, pzh) = _norm_padding(
+        padding, (kh, kw, kd), (sy, sx, sz), (h, w, d), (dy, dx, dz))
+
+    kd_eff = (kd - 1) * dz + 1
+    d_out = (d + pz + pzh - kd_eff) // sz + 1
+    # Pad z only; xy padding is handled by the inner 2D conv.
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pz, pzh), (0, 0)))
+    # One transpose to [B, Dp, H, W, C]; per-kz strided slices then fold
+    # (B, D') into the conv2d batch.
+    xp = xp.transpose(0, 3, 1, 2, 4)
+
+    y = None
+    for kz in range(kd):
+        off = kz * dz
+        stop = off + (d_out - 1) * sz + 1
+        sl = lax.slice_in_dim(xp, off, stop, stride=sz, axis=1)
+        sl = sl.reshape(b * d_out, h, w, cin)
+        k2 = kernel[:, :, kz]  # [kh,kw,Cin,Cout]
+        dn2 = lax.conv_dimension_numbers(sl.shape, k2.shape, DN2)
+        part = lax.conv_general_dilated(
+            sl, k2, (sy, sx), [(py, pyh), (px, pxh)],
+            dimension_numbers=dn2, rhs_dilation=(dy, dx),
+            preferred_element_type=preferred_element_type)
+        y = part if y is None else y + part
+    ho, wo = y.shape[1], y.shape[2]
+    return y.reshape(b, d_out, ho, wo, cout).transpose(0, 2, 3, 1, 4)
+
+
+def conv3d(x, kernel, strides=(1, 1, 1), padding="SAME",
+           kernel_dilation=(1, 1, 1), preferred_element_type=None):
+    """Dispatching 3D conv: kz-decomposed on TPU for large-spatial shapes.
+
+    v5e measurements (bf16, chained-scan timing): decomposition wins when
+    the folded 2D conv has a big spatial extent — 4.6x at (64,64,12)
+    c256->512, 1.2x at 32^3 — but LOSES on the small-spatial ROI-head
+    stacks where the 2D conv degenerates (0.6x at 14^3 x 200 ROIs, 0.7x on
+    the 7^3 VALID classifier conv). H*W >= 1024 is the empirical
+    crossover.
+    """
+    kd = kernel.shape[2]
+    if (kd > 1 and x.shape[1] * x.shape[2] >= 1024
+            and jax.default_backend() not in ("cpu",)):
+        return conv3d_zdec(x, kernel, strides, padding, kernel_dilation,
+                           preferred_element_type)
+    return conv3d_direct(x, kernel, strides, padding, kernel_dilation,
+                         preferred_element_type)
+
+
+class ZConv(nn.Module):
+    """Drop-in nn.Conv replacement using the dispatching conv3d.
+
+    Parameter names/shapes identical to nn.Conv (kernel [kh,kw,kd,Cin,Cout],
+    bias [Cout]) — checkpoints are interchangeable.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    padding: Any = "SAME"
+    kernel_dilation: Sequence[int] = (1, 1, 1)
+    use_bias: bool = True
+    dtype: Dtype = None
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw, kd = (int(k) for k in self.kernel_size)
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, kd, cin, self.features),
+                            self.param_dtype)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        y = conv3d(x, kernel, self.strides, self.padding,
+                   self.kernel_dilation)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            y = y + bias.astype(y.dtype)
+        return y

@@ -24,11 +24,24 @@ def make_case(rng, c, depth, n=6):
 
 @pytest.mark.parametrize("c,depth", [(8, 16), (256, 64), (128, 8)])
 def test_pallas_matches_xla(rng, c, depth):
+    """Small pyramids dispatch to the VMEM-resident kernel."""
     boxes, meta, feats = make_case(rng, c, depth)
     ref = np.asarray(pyramid_roi_align(boxes, meta, feats, 7))
     got = np.asarray(
         pyramid_roi_align_pallas(boxes, meta, feats, 7, interpret=True)
     )
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("c,depth", [(8, 16), (128, 8)])
+def test_pallas_tiered_slab_matches_xla(rng, c, depth):
+    """Forcing `slab` exercises the span-routed slab-DMA fallback kernel
+    (the path big pyramids take), including its tier sort/combine/unsort."""
+    boxes, meta, feats = make_case(rng, c, depth)
+    ref = np.asarray(pyramid_roi_align(boxes, meta, feats, 7))
+    got = np.asarray(pyramid_roi_align_pallas(
+        boxes, meta, feats, 7, slab=(16, 16, max(depth, 16)),
+        interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
