@@ -70,16 +70,29 @@ def main():
 
     t0 = time.perf_counter()
     params, opt_state, metrics = step(params, opt_state, batch_stats, data)
-    jax.block_until_ready(metrics)
-    print(f"[rpn-step] compile+first: {time.perf_counter()-t0:.1f}s",
+    print(f"[rpn-step] compile+first(dispatch): {time.perf_counter()-t0:.1f}s",
           flush=True)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        params, opt_state, metrics = step(params, opt_state, batch_stats, data)
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / iters
+    # Honest device time on the axon tunnel: only a host fetch forces
+    # execution, so run K chained steps and take the slope between two loop
+    # lengths — cancels the fixed fetch cost. The step donates params/
+    # opt_state, so every call must consume the PREVIOUS call's outputs
+    # (reusing a donated handle fails with InvalidArgument at execution).
+    state = [params, opt_state]
+
+    def run(k):
+        p, o = state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            p, o, m = step(p, o, batch_stats, data)
+        float(m["loss"])  # force execution
+        state[0], state[1] = p, o
+        return time.perf_counter() - t0
+
+    run(1)  # warm
+    t2 = min(run(2) for _ in range(2))
+    t10 = min(run(10) for _ in range(2))
+    dt = max((t10 - t2) / 8, 1e-9)
     print(f"[rpn-step] {dt*1e3:.1f} ms/step -> "
           f"{batch/dt:.2f} vol/s/chip @{size}^2x{depth} B={batch}", flush=True)
 
