@@ -96,6 +96,50 @@ def main():
     print(f"[rpn-step] {dt*1e3:.1f} ms/step -> "
           f"{batch/dt:.2f} vol/s/chip @{size}^2x{depth} B={batch}", flush=True)
 
+    # ------------------------------------------------------------------
+    # E2E head training step (frozen trunk + live proposals + ROI heads:
+    # reference MODE training_head_e2e, core/models.py:4234-4402).
+    from m3d.image_meta import default_meta
+    from m3d.train.head import HeadTrainer
+
+    cfg.MODE = "training_head_e2e"
+    ht = HeadTrainer.__new__(HeadTrainer)
+    ht.config, ht.model, ht.anchors = cfg, model, anchors
+    e2e_step = ht.make_e2e_step(tx)
+
+    G = int(cfg.MAX_GT_INSTANCES)
+    e2e_batch = jax.device_put({
+        "image": batch_np["image"],
+        "image_meta": np.tile(default_meta(cfg)[None], (batch, 1)),
+        "gt_class_ids": np.ones((batch, G), np.int32),
+        "gt_boxes": np.tile(np.asarray(
+            [[0.2, 0.2, 0.2, 0.6, 0.6, 0.8]], np.float32), (batch, G, 1)),
+        "gt_masks": np.ones((batch, size, size, depth, G), np.float32),
+    })
+    variables2 = init_params(model, jax.random.PRNGKey(0))
+    p2 = jax.device_put(variables2["params"])
+    o2 = jax.device_put(tx.init(p2))
+    key = jax.random.PRNGKey(1)
+
+    state2 = [p2, o2]
+
+    def run_e2e(k):
+        p, o = state2
+        t0 = time.perf_counter()
+        for s in range(k):
+            p, o, m = e2e_step(p, o, batch_stats, e2e_batch,
+                               jax.random.fold_in(key, s))
+        float(m["pos_count"])
+        state2[0], state2[1] = p, o
+        return time.perf_counter() - t0
+
+    run_e2e(1)
+    t2 = min(run_e2e(2) for _ in range(2))
+    t10 = min(run_e2e(10) for _ in range(2))
+    dt = max((t10 - t2) / 8, 1e-9)
+    print(f"[e2e-head-step] {dt*1e3:.1f} ms/step -> "
+          f"{batch/dt:.2f} vol/s/chip @{size}^2x{depth} B={batch}", flush=True)
+
 
 if __name__ == "__main__":
     main()
