@@ -13,10 +13,14 @@ implementations in tests/test_boxes.py.
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 # Matterport-style log-scale clamp (reference: core/utils.py:443-446).
-LOG_SCALE_LIMIT = float(jnp.log(1000.0 / 16.0))
+# math.log, not jnp.log: a module-level jnp call would initialize the JAX
+# backend at import time, before callers can select a platform.
+LOG_SCALE_LIMIT = math.log(1000.0 / 16.0)
 
 
 def box_hwd(boxes):

@@ -26,7 +26,9 @@ import numpy as np
 
 from m3d.boxes import box_volume
 
-NEG_INF = jnp.float32(-1e30)
+# np.float32, not jnp: jnp.float32(x) materializes a device array, which
+# initializes the JAX backend at import time (before platform selection).
+NEG_INF = np.float32(-1e30)
 
 
 def _pairwise_iou(boxes_a, boxes_b, vol_a, vol_b, eps=1e-10):

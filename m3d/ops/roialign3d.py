@@ -333,6 +333,12 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
     """
     from m3d.ops.pallas_roialign import pallas_pyramid_roi_align
 
+    # Mosaic (Jan-2026 libtpu) rejects the kernels' lane-collapsing
+    # reshapes when the channel chunk is a partial lane tile — ck must be a
+    # full 128. Narrower pyramids take the XLA gather path.
+    if feature_maps[0].shape[-1] % 128 != 0:
+        return pyramid_roi_align(boxes, image_meta, feature_maps, pool_size)
+
     if isinstance(pool_size, int):
         pool_size = (pool_size,) * 3
     p = int(pool_size[0])
@@ -546,12 +552,14 @@ def pyramid_roi_align_auto(boxes, image_meta, feature_maps, pool_size,
         few ROIs with big pools (the mask stage: 200 x 14^3 -> ~5ms vs
         ~19ms gather). Inference-only (no gradients).
     """
-    if method == "trilinear" and jax.default_backend() == "tpu":
+    # The pallas entry points only take a scalar (cubic) pool size and full
+    # 128-lane channel chunks; tuple pool sizes / narrow pyramids stay on
+    # the gather path.
+    if (method == "trilinear" and jax.default_backend() == "tpu"
+            and isinstance(pool_size, int)
+            and feature_maps[0].shape[-1] % 128 == 0):
         bsz, n = boxes.shape[:2]
-        if isinstance(pool_size, int):
-            p3 = pool_size ** 3
-        else:
-            p3 = int(np.prod([int(v) for v in pool_size]))
+        p3 = pool_size ** 3
         c = feature_maps[0].shape[-1]
         ck = min(c, 128)
         itemsize = jnp.dtype(feature_maps[0].dtype).itemsize
