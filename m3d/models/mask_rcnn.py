@@ -143,7 +143,9 @@ class MaskRCNN(nn.Module):
             detection_nms_xy_only=bool(
                 getattr(config, "DETECTION_NMS_XY_ONLY", False)
             ),
-            train_bn=bool(config.TRAIN_BN),
+            # Inference always uses BN running stats (Keras learning-phase-0
+            # semantics at predict time, regardless of TRAIN_BN).
+            train_bn=bool(config.TRAIN_BN) and mode != "inference",
             dtype=jnp.bfloat16
             if str(getattr(config, "COMPUTE_DTYPE", "bfloat16")) == "bfloat16"
             else jnp.float32,

@@ -37,7 +37,8 @@ from m3d.parallel.mesh import make_mesh, shard_batch
 from m3d.train.checkpoints import (BestAndLatest, load_params,
                                    restore_by_name)
 from m3d.train.optim import (EarlyStopping, ReduceLROnPlateau,
-                             apply_constraints, build_optimizer)
+                             apply_constraints, build_optimizer,
+                             get_learning_rate, set_learning_rate)
 from m3d.train.telemetry import Telemetry
 
 HEAD_PREFIXES = ("mrcnn_",)
@@ -139,24 +140,37 @@ class HeadTrainer:
     def make_head_only_step(self, tx):
         model, cfg = self.model, self.config
         nc = int(cfg.NUM_CLASSES)
+        train_bn = bool(getattr(cfg, "TRAIN_BN", False))
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, batch_stats, batch):
             active = jnp.ones((batch["rois_aligned"].shape[0], nc), jnp.float32)
 
-            def loss_fn(p):
-                out = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    batch["rois_aligned"], batch["mask_aligned"],
-                    method=MaskRCNN.forward_heads,
-                )
-                return head_losses(cfg, out, batch, active)
+            def loss_fn(p, bs):
+                variables = {"params": p, "batch_stats": bs}
+                if train_bn:
+                    out, mut = model.apply(
+                        variables, batch["rois_aligned"],
+                        batch["mask_aligned"],
+                        method=MaskRCNN.forward_heads,
+                        mutable=["batch_stats"],
+                    )
+                    new_bs = mut["batch_stats"]
+                else:
+                    out = model.apply(
+                        variables, batch["rois_aligned"],
+                        batch["mask_aligned"],
+                        method=MaskRCNN.forward_heads,
+                    )
+                    new_bs = bs
+                loss, metrics = head_losses(cfg, out, batch, active)
+                return loss, (metrics, new_bs)
 
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            (loss, (metrics, batch_stats_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = apply_constraints(optax.apply_updates(params, updates))
-            return params, opt_state, metrics
+            return params, opt_state, batch_stats_out, metrics
 
         return train_step
 
@@ -183,7 +197,8 @@ class HeadTrainer:
                                 step_fn, self._make_head_eval())
 
     def _make_head_eval(self):
-        model, cfg = self.model, self.config
+        # Eval clone: BN uses running stats regardless of TRAIN_BN.
+        model, cfg = self.model.clone(train_bn=False), self.config
         nc = int(cfg.NUM_CLASSES)
 
         @jax.jit
@@ -255,13 +270,24 @@ class HeadTrainer:
             (loss, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = apply_constraints(optax.apply_updates(params, updates))
-            return params, opt_state, metrics
+            params = apply_constraints(optax.apply_updates(params, updates),
+                                       frozen_predicate=_is_frozen_for_e2e)
+            # batch_stats pass through unchanged (trunk frozen, TRAIN_BN
+            # rejected in train_e2e) — uniform step signature for _train_loop.
+            return params, opt_state, batch_stats, metrics
 
         return train_step
 
     def train_e2e(self, steps_per_epoch=None, val_steps: int = 2):
         cfg = self.config
+        if bool(getattr(cfg, "TRAIN_BN", False)):
+            raise ValueError(
+                "TRAIN_BN=true is not supported in e2e head training: the "
+                "trunk is frozen and the reference explicitly kills BN "
+                "updates for frozen layers (core/models.py:4666-4668). Use "
+                "TRAIN_BN with RPN_TRAINING / HEAD_TRAINING (MODE training) "
+                "/ MRCNN_TRAINING instead."
+            )
         train_ds = ToyDataset()
         train_ds.load_dataset(cfg.DATA_DIR, is_train=True,
                               class_names=tuple(cfg.CLASS_NAMES))
@@ -300,14 +326,19 @@ class HeadTrainer:
         reduce_lr = ReduceLROnPlateau(mode="min")
         early = EarlyStopping(patience=15, mode="min")
         steps = steps_per_epoch or len(gen)
-        it = iter(gen)
+        from m3d.data.generators import prefetch_to_device
+
+        it = prefetch_to_device(
+            shard_batch(self.mesh, b) for b in iter(gen)
+        )
         history = []
+        lr = get_learning_rate(opt_state)
         for epoch in range(int(cfg.FROM_EPOCH), int(cfg.EPOCHS)):
             t0 = time.time()
             agg: dict[str, list] = {}
             for _ in range(steps):
-                batch = shard_batch(self.mesh, next(it))
-                params, opt_state, metrics = step_fn(
+                batch = next(it)
+                params, opt_state, batch_stats, metrics = step_fn(
                     params, opt_state, batch_stats, batch)
                 for k, v in jax.device_get(metrics).items():
                     agg.setdefault(k, []).append(float(v))
@@ -328,11 +359,16 @@ class HeadTrainer:
             variables = {"params": params, "batch_stats": batch_stats}
             ckpt.update(epoch, variables, gate,
                         metadata={"kind": "head", "epoch": epoch})
+            new_lr = reduce_lr.update(gate, lr)
+            if new_lr != lr:
+                lr = new_lr
+                opt_state = set_learning_rate(opt_state, lr)
+            epoch_metrics["lr"] = lr
             self.telemetry.snapshot_and_reset(epoch, save_dir,
                                               extra=epoch_metrics)
             print(f"[HEAD][epoch {epoch}] loss={epoch_metrics['loss']:.4f} "
                   f"gate={gate:.4f} dice={epoch_metrics.get('mask_dice', 0):.3f} "
-                  f"({time.time() - t0:.1f}s)")
+                  f"lr={lr:.2e} ({time.time() - t0:.1f}s)")
             history.append(epoch_metrics)
             if early.update(gate):
                 print("[HEAD] early stopping")

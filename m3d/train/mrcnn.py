@@ -37,7 +37,9 @@ from m3d.parallel.mesh import make_mesh, shard_batch
 from m3d.train.checkpoints import (BestAndLatest, autoconfigure_heads,
                                    load_params, restore_by_name)
 from m3d.train.head import head_losses
-from m3d.train.optim import apply_constraints, build_optimizer, EarlyStopping
+from m3d.train.optim import (EarlyStopping, ReduceLROnPlateau,
+                             apply_constraints, build_optimizer,
+                             get_learning_rate, set_learning_rate)
 from m3d.train.telemetry import Telemetry
 from m3d.utils.metrics import compute_overlaps_masks
 from m3d.utils.unmold import unmold_detections
@@ -95,13 +97,24 @@ class MrcnnTrainer:
         mask_shape = tuple(int(v) for v in cfg.MASK_SHAPE)
         lw = cfg.LOSS_WEIGHTS
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        train_bn = bool(getattr(cfg, "TRAIN_BN", False))
+        frozen = _freeze_predicate(cfg.LEARNING_LAYERS)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, batch_stats, batch, key):
-            def loss_fn(p):
-                rpn_out = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    batch["image"], anchors, method=MaskRCNN.forward_rpn,
-                )
+            def loss_fn(p, bs):
+                if train_bn:
+                    rpn_out, mut = model.apply(
+                        {"params": p, "batch_stats": bs},
+                        batch["image"], anchors, method=MaskRCNN.forward_rpn,
+                        mutable=["batch_stats"],
+                    )
+                    bs = {**bs, **mut["batch_stats"]}
+                else:
+                    rpn_out = model.apply(
+                        {"params": p, "batch_stats": bs},
+                        batch["image"], anchors, method=MaskRCNN.forward_rpn,
+                    )
                 lrc, mrc = L.rpn_class_loss(batch["rpn_match"],
                                             rpn_out["rpn_class_logits"])
                 lrb, mrb = L.rpn_bbox_loss(batch["rpn_bbox"],
@@ -122,10 +135,18 @@ class MrcnnTrainer:
                                        list(feats), int(cfg.POOL_SIZE))
                 ma = pyramid_roi_align(targets["rois"], batch["image_meta"],
                                        list(feats), int(cfg.MASK_POOL_SIZE))
-                out = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    ra, ma, method=MaskRCNN.forward_heads,
-                )
+                if train_bn:
+                    out, mut = model.apply(
+                        {"params": p, "batch_stats": bs},
+                        ra, ma, method=MaskRCNN.forward_heads,
+                        mutable=["batch_stats"],
+                    )
+                    bs = {**bs, **mut["batch_stats"]}
+                else:
+                    out = model.apply(
+                        {"params": p, "batch_stats": bs},
+                        ra, ma, method=MaskRCNN.forward_heads,
+                    )
                 head_batch = {
                     "target_class_ids": targets["class_ids"],
                     "target_bbox": targets["deltas"],
@@ -141,13 +162,14 @@ class MrcnnTrainer:
                 metrics.update(mrc)
                 metrics.update(mrb)
                 metrics["loss"] = loss
-                return loss, metrics
+                return loss, (metrics, bs)
 
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            (loss, (metrics, batch_stats_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
             updates, opt_state = tx.update(grads, opt_state, params)
-            params = apply_constraints(optax.apply_updates(params, updates))
-            return params, opt_state, metrics
+            params = apply_constraints(optax.apply_updates(params, updates),
+                                       frozen_predicate=frozen)
+            return params, opt_state, batch_stats_out, metrics
 
         return train_step
 
@@ -186,19 +208,25 @@ class MrcnnTrainer:
 
         save_dir = cfg.WEIGHT_DIR or os.path.join(cfg.OUTPUT_DIR, "weights")
         ckpt = BestAndLatest(save_dir, mode="min")
+        reduce_lr = ReduceLROnPlateau(mode="min")
         early = EarlyStopping(patience=15, mode="min")
         key = jax.random.PRNGKey(int(getattr(cfg, "SEED", 0)) + 7)
 
         steps = steps_per_epoch or len(gen)
-        it = iter(gen)
+        from m3d.data.generators import prefetch_to_device
+
+        it = prefetch_to_device(
+            shard_batch(self.mesh, b) for b in iter(gen)
+        )
         history = []
+        lr = get_learning_rate(opt_state)
         for epoch in range(int(cfg.FROM_EPOCH), int(cfg.EPOCHS)):
             t0 = time.time()
             agg: dict[str, list] = {}
             for _ in range(steps):
-                batch = shard_batch(self.mesh, next(it))
+                batch = next(it)
                 key, sub = jax.random.split(key)
-                params, opt_state, metrics = step_fn(
+                params, opt_state, batch_stats, metrics = step_fn(
                     params, opt_state, batch_stats, batch, sub)
                 for k, v in jax.device_get(metrics).items():
                     agg.setdefault(k, []).append(float(v))
@@ -206,10 +234,15 @@ class MrcnnTrainer:
             variables = {"params": params, "batch_stats": batch_stats}
             ckpt.update(epoch, variables, epoch_metrics["loss"],
                         metadata={"kind": "mrcnn", "epoch": epoch})
+            new_lr = reduce_lr.update(epoch_metrics["loss"], lr)
+            if new_lr != lr:
+                lr = new_lr
+                opt_state = set_learning_rate(opt_state, lr)
+            epoch_metrics["lr"] = lr
             self.telemetry.snapshot_and_reset(epoch, save_dir,
                                               extra=epoch_metrics)
             print(f"[MRCNN][epoch {epoch}] loss={epoch_metrics['loss']:.4f} "
-                  f"({time.time() - t0:.1f}s)")
+                  f"lr={lr:.2e} ({time.time() - t0:.1f}s)")
             history.append(epoch_metrics)
             if early.update(epoch_metrics["loss"]):
                 break
@@ -280,7 +313,10 @@ class MrcnnTrainer:
             out["detections"][0], out["mrcnn_masks"][0], (H, W, D)
         )
 
-        # Filter cascade (core/models.py:6911-6991): confidence, then volume.
+        # Filter cascade (core/models.py:6911-6991): confidence, then volume,
+        # then host greedy NMS — the reference's final numpy NMS stage, which
+        # removes duplicate masks that survive the in-graph
+        # DETECTION_NMS_THRESHOLD when it is loose.
         keep = scores >= float(cfg.DETECTION_MIN_CONFIDENCE)
         vol = np.prod(
             np.maximum(boxes_px[:, 3:] - boxes_px[:, :3], 0), axis=1)
@@ -288,6 +324,22 @@ class MrcnnTrainer:
         boxes_px, class_ids, scores = (
             boxes_px[keep], class_ids[keep], scores[keep])
         masks = masks[..., keep]
+
+        if len(scores):
+            from m3d import native
+            from m3d.ops.nms3d import nms_3d_numpy
+
+            nms_thr = float(cfg.DETECTION_NMS_THRESHOLD)
+            max_out = int(cfg.DETECTION_MAX_INSTANCES)
+            b = boxes_px.astype(np.float32)
+            s = scores.astype(np.float32)
+            if native.available():
+                nms_keep = native.nms_3d_host(b, s, nms_thr, max_out)
+            else:
+                nms_keep = nms_3d_numpy(b, s, nms_thr, max_out)
+            boxes_px, class_ids, scores = (
+                boxes_px[nms_keep], class_ids[nms_keep], scores[nms_keep])
+            masks = masks[..., nms_keep]
 
         # GT
         gt_boxes, gt_class_ids, gt_masks = dataset.load_data(image_id)

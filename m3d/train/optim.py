@@ -64,19 +64,31 @@ def build_optimizer(config, params=None, learning_rate=None,
     lr = float(learning_rate if learning_rate is not None
                else p.get("learning_rate", 0.01))
 
+    # learning_rate is injected as an optimizer-state hyperparam so the
+    # host-side ReduceLROnPlateau can change it between steps WITHOUT
+    # recompiling the jitted train step (the reference mutates the Keras
+    # optimizer's lr variable the same way, core/models.py:3024-3060).
     if name == "sgd":
-        base = optax.sgd(lr, momentum=float(p.get("momentum", 0.9)),
-                         nesterov=bool(p.get("nesterov", False)))
+        def base_fn(learning_rate):
+            return optax.sgd(learning_rate,
+                             momentum=float(p.get("momentum", 0.9)),
+                             nesterov=bool(p.get("nesterov", False)))
     elif name == "adadelta":
-        base = optax.adadelta(lr if "learning_rate" in p else 1.0,
-                              rho=float(p.get("rho", 0.95)),
-                              eps=float(p.get("epsilon", 1e-7)))
+        lr = lr if "learning_rate" in p else 1.0
+
+        def base_fn(learning_rate):
+            return optax.adadelta(learning_rate,
+                                  rho=float(p.get("rho", 0.95)),
+                                  eps=float(p.get("epsilon", 1e-7)))
     elif name in ("adam", "adamw"):
-        base = optax.adam(lr, b1=float(p.get("beta_1", 0.9)),
-                          b2=float(p.get("beta_2", 0.999)),
-                          eps=float(p.get("epsilon", 1e-8)))
+        def base_fn(learning_rate):
+            return optax.adam(learning_rate,
+                              b1=float(p.get("beta_1", 0.9)),
+                              b2=float(p.get("beta_2", 0.999)),
+                              eps=float(p.get("epsilon", 1e-8)))
     else:
         raise ValueError(f"unsupported optimizer: {spec}")
+    base = optax.inject_hyperparams(base_fn)(learning_rate=lr)
 
     wd = float(getattr(config, "WEIGHT_DECAY", 0.0))
     chain = []
@@ -109,13 +121,20 @@ def build_optimizer(config, params=None, learning_rate=None,
 _MAXNORM = {"mrcnn_class_logits": 2.0, "mrcnn_bbox_fc": 1.0}
 
 
-def apply_constraints(params):
+def apply_constraints(params, frozen_predicate=None):
     """Project Dense kernels to their max column norms (Keras MaxNorm parity:
-    the norm is over the input axis, per output unit)."""
+    the norm is over the input axis, per output unit).
+
+    ``frozen_predicate``: optional fn(path_str) -> bool; frozen params are
+    left untouched — Keras applies constraints only when a weight is
+    updated, so frozen layers must not be projected.
+    """
 
     def visit(path, leaf):
         names = [str(getattr(k, "key", k)) for k in path]
         if names[-1] != "kernel":
+            return leaf
+        if frozen_predicate is not None and frozen_predicate("/".join(names)):
             return leaf
         for module, max_norm in _MAXNORM.items():
             if module in names:
@@ -174,15 +193,16 @@ class EarlyStopping:
         return self.stopped
 
 
-def make_lr_schedule(base_lr: float, warmup_steps: int = 0,
-                     total_steps: int | None = None, cosine: bool = False):
-    """Optional cosine-with-warmup schedule (the reference defines one but
-    ships with it disabled, core/models.py:3430-3450)."""
-    if not cosine:
-        if warmup_steps <= 0:
-            return base_lr
-        return optax.linear_schedule(0.0, base_lr, warmup_steps)
-    assert total_steps is not None
-    return optax.warmup_cosine_decay_schedule(
-        0.0, base_lr, warmup_steps, total_steps
-    )
+def get_learning_rate(opt_state) -> float:
+    """Current injected learning rate (see build_optimizer)."""
+    import optax.tree_utils as otu
+
+    return float(otu.tree_get(opt_state, "learning_rate"))
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Functionally replace the injected learning rate in an opt state."""
+    import optax.tree_utils as otu
+
+    return otu.tree_set(opt_state,
+                        learning_rate=jnp.asarray(lr, jnp.float32))

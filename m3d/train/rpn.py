@@ -34,7 +34,8 @@ from m3d.ops.roialign3d import pyramid_roi_align
 from m3d.parallel.mesh import make_mesh, shard_batch
 from m3d.train.checkpoints import BestAndLatest, load_params, restore_by_name
 from m3d.train.optim import (EarlyStopping, ReduceLROnPlateau,
-                             build_optimizer)
+                             build_optimizer, get_learning_rate,
+                             set_learning_rate)
 from m3d.train.telemetry import Telemetry
 
 
@@ -91,33 +92,44 @@ class RPNTrainer:
         # (core/models.py:3363-3377) regardless of LOSS_WEIGHTS.
         w_class = float(lw.get("rpn_class_loss_override", 1.0))
         w_bbox = float(lw.get("rpn_bbox_loss_override", 1.5))
+        train_bn = bool(getattr(cfg, "TRAIN_BN", False))
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, opt_state, batch_stats, batch):
-            def loss_fn(p):
-                out = model.apply(
-                    {"params": p, "batch_stats": batch_stats},
-                    batch["image"], method=MaskRCNN.forward_rpn_train,
-                )
+            def loss_fn(p, bs):
+                variables = {"params": p, "batch_stats": bs}
+                if train_bn:
+                    out, mut = model.apply(
+                        variables, batch["image"],
+                        method=MaskRCNN.forward_rpn_train,
+                        mutable=["batch_stats"],
+                    )
+                    new_bs = mut["batch_stats"]
+                else:
+                    out = model.apply(variables, batch["image"],
+                                      method=MaskRCNN.forward_rpn_train)
+                    new_bs = bs
                 lc, mc = L.rpn_class_loss(batch["rpn_match"],
                                           out["rpn_class_logits"])
                 lb, mb = L.rpn_bbox_loss(batch["rpn_bbox"],
                                          batch["rpn_match"], out["rpn_bbox"])
                 loss = w_class * lc + w_bbox * lb
-                return loss, {**mc, **mb, "loss": loss}
+                return loss, ({**mc, **mb, "loss": loss}, new_bs)
 
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            (loss, (metrics, batch_stats_out)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats)
             updates, opt_state = tx.update(grads, opt_state, params)
             import optax
 
             params = optax.apply_updates(params, updates)
-            return params, opt_state, metrics
+            return params, opt_state, batch_stats_out, metrics
 
         return train_step
 
     def make_proposal_fn(self, variables):
-        model = self.model
+        # Eval clone with BN in inference mode (running stats): a
+        # train_bn=True model would demand mutable batch_stats in apply.
+        model = self.model.clone(train_bn=False)
         anchors = self.anchors
         # Pass variables as a jit argument — closing over them would embed
         # the weights as HLO constants (fatal through remote compile).
@@ -156,38 +168,49 @@ class RPNTrainer:
         early = EarlyStopping(patience=15, mode="max")
 
         steps = steps_per_epoch or len(gen)
-        it = iter(gen)
+        from m3d.data.generators import prefetch_to_device
+
+        it = prefetch_to_device(
+            shard_batch(self.mesh, b) for b in iter(gen)
+        )
         history = []
+        lr = get_learning_rate(opt_state)
         for epoch in range(int(cfg.FROM_EPOCH), int(cfg.EPOCHS)):
             t0 = time.time()
             agg: dict[str, list] = {}
             for _ in range(steps):
                 batch = next(it)
-                batch = shard_batch(self.mesh, batch)
-                params, opt_state, metrics = train_step(
+                params, opt_state, batch_stats, metrics = train_step(
                     params, opt_state, batch_stats, batch
                 )
                 for k, v in jax.device_get(metrics).items():
                     agg.setdefault(k, []).append(float(v))
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
 
-            # Eval: proposal quality on the test subset.
+            # Eval: proposal quality on the test subset; telemetry gets the
+            # proposal/GT geometry (reference core/utils.py:1700-1763).
             variables = {"params": params, "batch_stats": batch_stats}
             predict = self.make_proposal_fn(variables)
             from m3d.utils.metrics import rpn_evaluation
 
-            eval_metrics = rpn_evaluation(predict, gen, test_ds, cfg,
-                                          max_images=eval_images)
+            eval_metrics = rpn_evaluation(predict, test_ds, cfg,
+                                          max_images=eval_images,
+                                          telemetry=self.telemetry)
             epoch_metrics.update(eval_metrics)
 
             score = eval_metrics["detection_score"]
             ckpt.update(epoch, variables, score,
                         metadata={"kind": "rpn", "epoch": epoch})
+            new_lr = reduce_lr.update(score, lr)
+            if new_lr != lr:
+                lr = new_lr
+                opt_state = set_learning_rate(opt_state, lr)
+            epoch_metrics["lr"] = lr
             self.telemetry.snapshot_and_reset(epoch, save_dir,
                                               extra=epoch_metrics)
             dt = time.time() - t0
             print(f"[RPN][epoch {epoch}] loss={epoch_metrics.get('loss'):.4f} "
-                  f"det_score={score:.1f} ({dt:.1f}s)")
+                  f"det_score={score:.1f} lr={lr:.2e} ({dt:.1f}s)")
             history.append(epoch_metrics)
             if early.update(score):
                 print("[RPN] early stopping")
@@ -209,7 +232,8 @@ class RPNTrainer:
         if variables is None:
             variables = self.init_variables()
 
-        model, anchors = self.model, self.anchors
+        # Targeting is a predict pass: BN in inference mode.
+        model, anchors = self.model.clone(train_bn=False), self.anchors
         mask_shape = tuple(int(v) for v in cfg.MASK_SHAPE)
 
         variables = jax.device_put(variables)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 TASKS = (
     "RPN_TRAINING",
@@ -34,6 +35,14 @@ def main():
 
     config = load_config(args.config_path)
 
+    # Persistent XLA compilation cache: first compile of each graph shape
+    # through the axon remote-compile tunnel costs minutes; reruns hit disk.
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("M3D_COMPILE_CACHE", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.summary:
         config.display()
 
@@ -55,8 +64,7 @@ def main():
         variables = trainer.init_variables()
         predict = trainer.make_proposal_fn(variables)
         _, test_ds = trainer.prepare_datasets()
-        gen = None
-        metrics = rpn_evaluation(predict, gen, test_ds, config,
+        metrics = rpn_evaluation(predict, test_ds, config,
                                  max_images=int(config.EVALUATION_STEPS))
         print(json.dumps(metrics, indent=2))
 
