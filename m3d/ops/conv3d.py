@@ -10,9 +10,10 @@ core/models.py:235-273), so every pyramid level is (H,W,12)-shaped.
 
 The decomposition is exact: a (kh,kw,kd) conv equals the sum over kz of a
 (kh,kw) 2D conv of the kz-th kernel z-slab applied to the z-shifted input,
-with the (batch, z) axes folded into the 2D conv's batch dimension. All
-reassociation happens in f32 accumulation inside the conv, so results match
-the direct path to normal bf16/f32 tolerance.
+with the (batch, z) axes folded into the 2D conv's batch dimension. Each 2D
+conv accumulates its taps in f32 on the MXU, and the cross-kz partial sum
+also runs in f32 (see conv3d_zdec) — at bf16 the only divergence from the
+direct path is one rounding per kz partial.
 
 ``conv3d`` dispatches: z-decomposition when the z-kernel extent > 1 on TPU
 backends, direct ``lax.conv_general_dilated`` otherwise (CPU tests, 1^3
@@ -86,6 +87,15 @@ def conv3d_zdec(x, kernel, strides=(1, 1, 1), padding="SAME",
     # (B, D') into the conv2d batch.
     xp = xp.transpose(0, 3, 1, 2, 4)
 
+    # The cross-kz sum runs in f32 regardless of the conv dtype: each 2D
+    # conv accumulates its taps in f32 on the MXU and rounds once, and the
+    # partials are summed in f32 before a single final downcast — at bf16
+    # the result differs from direct conv3d only by the per-kz rounding,
+    # not by bf16 partial-sum drift. (preferred_element_type is NOT used to
+    # force an f32 conv output: jax's conv transpose rule requires matching
+    # operand/cotangent dtypes and would fail in the backward pass.)
+    acc_dtype = preferred_element_type or jnp.promote_types(
+        x.dtype, jnp.float32)
     y = None
     for kz in range(kd):
         off = kz * dz
@@ -96,9 +106,9 @@ def conv3d_zdec(x, kernel, strides=(1, 1, 1), padding="SAME",
         dn2 = lax.conv_dimension_numbers(sl.shape, k2.shape, DN2)
         part = lax.conv_general_dilated(
             sl, k2, (sy, sx), [(py, pyh), (px, pxh)],
-            dimension_numbers=dn2, rhs_dilation=(dy, dx),
-            preferred_element_type=preferred_element_type)
+            dimension_numbers=dn2, rhs_dilation=(dy, dx)).astype(acc_dtype)
         y = part if y is None else y + part
+    y = y.astype(preferred_element_type or x.dtype)
     ho, wo = y.shape[1], y.shape[2]
     return y.reshape(b, d_out, ho, wo, cout).transpose(0, 2, 3, 1, 4)
 
@@ -151,6 +161,8 @@ class ZConv(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
+        # conv3d_zdec sums its per-kz partials in f32 internally (see
+        # conv3d_zdec), so bf16 inputs don't accumulate partial-sum drift.
         y = conv3d(x, kernel, self.strides, self.padding,
                    self.kernel_dilation)
         if self.use_bias:

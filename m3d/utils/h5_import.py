@@ -82,14 +82,24 @@ _BN_STATS = {"moving_mean": "mean", "moving_variance": "var"}
 
 def load_keras_h5(path: str):
     """Read a reference H5 into two nested trees keyed by layer name:
-    ({layer: {param: arr}}, {layer: {stat: arr}})."""
+    ({layer: {param: arr}}, {layer: {stat: arr}}).
+
+    The owner is the LAYER GROUP name, not the weight path's penultimate
+    component: Keras 2.3.1 writes TimeDistributed-wrapped head layers
+    (reference core/models.py:1121-1238) with the *wrapper's* meaningful
+    name as the group ("mrcnn_class_conv1") while the weight names inside
+    carry the auto-generated inner-layer name ("conv3d_12/kernel:0") —
+    the nesting the reference's suffix-remap surgery exists to untangle
+    (core/models.py:4924-5061). Directly-named layers (backbone/FPN/RPN)
+    have group == path owner, so this rule covers both.
+    """
     h5py = _h5()
     params: dict[str, dict[str, np.ndarray]] = {}
     stats: dict[str, dict[str, np.ndarray]] = {}
     with h5py.File(path, "r") as f:
         for layer, wname, arr in _iter_layer_weights(f):
             leaf = wname.split("/")[-1].split(":")[0]
-            owner = wname.split("/")[-2] if "/" in wname else layer
+            owner = layer
             if leaf in _BN_PARAM:
                 params.setdefault(owner, {})[_BN_PARAM[leaf]] = arr
             elif leaf in _BN_STATS:

@@ -33,8 +33,31 @@ def tsum(t):
     return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
 
 
+# Measured v5e bf16 peak on this tunnel (chained 4096^3 matmul, round 1).
+PEAK_TFLOPS = 195.0
+
+
+def stage_flops(step, x0, *consts):
+    """Analytic FLOP count for one stage call from XLA's cost analysis."""
+    try:
+        f = jax.jit(lambda x, *cs: step(jnp.float32(0.0), x, *cs))
+        cost = f.lower(x0, *consts).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception as e:  # noqa: BLE001 — cost analysis is best-effort
+        print(f"  (cost analysis unavailable: {e})", flush=True)
+        return float("nan")
+
+
 def chain_time(name, step, x0, *consts, n_lo=3, n_hi=12):
-    """step(x, carry, *consts) -> (out_tree). Chains via scalar carry."""
+    """step(x, carry, *consts) -> (out_tree). Chains via scalar carry.
+
+    Returns (dt_seconds, flops_per_call) — flops from XLA cost analysis, so
+    the table shows achieved TFLOP/s and %-of-peak per stage (the roofline
+    view: low %-peak + low ms = overhead-bound, low %-peak + high ms =
+    memory/gather-bound, high %-peak = compute-bound, done).
+    """
     def scan_fn(n):
         return jax.jit(lambda x, *cs: lax.scan(
             lambda c, _: ((lambda o: (jnp.tanh(tsum(o)) * 1e-6).astype(
@@ -55,8 +78,11 @@ def chain_time(name, step, x0, *consts, n_lo=3, n_hi=12):
             ts.append(time.perf_counter() - t0)
         times[n] = min(ts)
     dt = max((times[n_hi] - times[n_lo]) / (n_hi - n_lo), 1e-9)
-    print(f"[{name}] {dt*1e3:.2f}ms/call", flush=True)
-    return dt
+    fl = stage_flops(step, x0, *consts)
+    tfs = fl / dt / 1e12
+    print(f"[{name}] {dt*1e3:.2f}ms/call  {fl/1e12:.3f} TFLOP  "
+          f"{tfs:.1f} TFLOP/s  {100*tfs/PEAK_TFLOPS:.0f}%-peak", flush=True)
+    return dt, fl
 
 
 def main():
@@ -106,41 +132,55 @@ def main():
     print("captured intermediates", flush=True)
 
     # Stage chains. step(carry_scalar_applied_input, x0, *consts).
-    chain_time(
+    rows = []
+    rows.append(("backbone+FPN", *chain_time(
         "backbone+FPN",
         lambda c, img, v: model.apply(v, img + c,
                                       method=MaskRCNN.extract_features),
-        image, variables)
-    chain_time(
+        image, variables)))
+    rows.append(("RPN-head", *chain_time(
         "RPN-head",
         lambda c, f, v: model.apply(
             v, tuple(p + c for p in f), method=MaskRCNN.rpn_forward),
-        feats, variables)
-    chain_time(
+        feats, variables)))
+    rows.append(("proposal/NMS", *chain_time(
         "proposal/NMS",
         lambda c, r, v: model.apply(v, r[1] + c, r[2] + c, anchors,
                                     method=MaskRCNN.propose),
-        rpn, variables)
-    chain_time(
+        rpn, variables)))
+    rows.append(("roialign+classifier", *chain_time(
         "roialign+classifier",
         lambda c, x, v: model.apply(
             v, x[0] + c * 1e-3, meta, [p + c for p in x[1][:4]],
             method=MaskRCNN.classify_rois),
-        (props[0], feats), variables)
-    chain_time(
+        (props[0], feats), variables)))
+    rows.append(("detection", *chain_time(
         "detection",
         lambda c, x: refine_detections_batch(
             x[0] + c, x[1] + c, x[2] + c, meta,
             jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),
             cfg.DETECTION_MIN_CONFIDENCE, cfg.DETECTION_NMS_THRESHOLD,
             int(cfg.DETECTION_MAX_INSTANCES)),
-        (props[0], cls[1], cls[2]))
-    chain_time(
+        (props[0], cls[1], cls[2]))))
+    rows.append(("mask-head", *chain_time(
         "mask-head",
         lambda c, x, v: model.apply(
             v, x[0][..., :6] + c * 1e-3, meta, [p + c for p in x[1][:4]],
             method=MaskRCNN.mask_rois),
-        (det[0], feats), variables)
+        (det[0], feats), variables)))
+
+    total_dt = sum(r[1] for r in rows)
+    total_fl = sum(r[2] for r in rows if np.isfinite(r[2]))
+    print(f"\n| stage | ms | TFLOP | TFLOP/s | %-peak | %-time |")
+    print(f"|---|---|---|---|---|---|")
+    for name, dt, fl in rows:
+        tfs = fl / dt / 1e12
+        print(f"| {name} | {dt*1e3:.2f} | {fl/1e12:.3f} | {tfs:.1f} | "
+              f"{100*tfs/PEAK_TFLOPS:.0f}% | {100*dt/total_dt:.0f}% |")
+    print(f"| TOTAL | {total_dt*1e3:.2f} | {total_fl/1e12:.3f} | "
+          f"{total_fl/total_dt/1e12:.1f} | "
+          f"{100*total_fl/total_dt/1e12/PEAK_TFLOPS:.0f}% | 100% |")
+    print(f"volumes/s/chip (sum of stages): {batch/total_dt:.1f}")
 
 
 if __name__ == "__main__":

@@ -36,6 +36,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute train smokes / end-to-end pipelines "
+        "(deselect with -m 'not slow'; the fast tier must stay < 5 min)",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(42)

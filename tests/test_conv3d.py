@@ -81,3 +81,43 @@ def test_zconv_grad():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_zdec_bf16_f32_partial_accumulation():
+    """At bf16 the kz-decomposition must not drift from the direct conv in
+    the regime the trunk actually runs in (BN-normalized unit-scale
+    activations): partials are summed in f32 (conv3d_zdec), so the only
+    divergence is one rounding per kz partial. A 7-tap z kernel (the stem)
+    would show clear drift if partials were still summed in bf16."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, 40, 40, 12, 8).astype(np.float32)
+    k = (rng.randn(7, 7, 7, 8, 8) / 7.0).astype(np.float32)
+
+    want = np.asarray(
+        conv3d_direct(jnp.asarray(x), jnp.asarray(k)), np.float32)
+    got = np.asarray(
+        conv3d_zdec(jnp.asarray(x, jnp.bfloat16),
+                    jnp.asarray(k, jnp.bfloat16)), np.float32)
+    base = np.asarray(
+        conv3d_direct(jnp.asarray(x, jnp.bfloat16),
+                      jnp.asarray(k, jnp.bfloat16)), np.float32)
+    scale = np.abs(want).mean()
+    err = np.quantile(np.abs(got - want), 0.99) / scale
+    err_direct = np.quantile(np.abs(base - want), 0.99) / scale
+    # Within a small factor of the direct bf16 conv's own rounding error —
+    # i.e. per-partial rounding, not kd-fold bf16 partial-sum drift.
+    assert err < 4 * max(err_direct, 2.0 ** -8), (err, err_direct)
+
+
+def test_zdec_bf16_grad_dtypes():
+    """Backward through the bf16 z-decomposed conv must run (the f32
+    accumulation cast is autodiff-safe; a preferred_element_type mismatch
+    here is what broke the conv transpose rule)."""
+    x = jnp.asarray(np.random.RandomState(4).randn(1, 36, 36, 5, 4),
+                    jnp.bfloat16)
+    zc = ZConv(4, (3, 3, 3), dtype=jnp.bfloat16)
+    v = zc.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda v: jnp.sum(
+        zc.apply(v, x).astype(jnp.float32) ** 2))(v)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)

@@ -144,3 +144,110 @@ def test_load_params_dispatches_h5(tiny, tmp_path):
     key = next(k for k in flat_src if k.endswith("mrcnn_class_conv1/kernel"))
     np.testing.assert_array_equal(np.asarray(flat_dst[key]),
                                   np.asarray(flat_src[key]))
+
+
+def _keras231_fixture(path, variables):
+    """Hand-author an H5 replicating Keras 2.3.1 save_weights layout exactly
+    (reference core/models.py:1121-1413 builds):
+
+    - top-level attrs: layer_names (ALL layers incl. weightless),
+      keras_version, backend;
+    - per-layer groups with a weight_names attr of b"...:0" names;
+    - backbone/FPN/RPN layers directly named -> weight path owner == group;
+    - mrcnn_* head layers wrapped in TimeDistributed -> the GROUP carries
+      the meaningful name while the weight names inside use the wrapped
+      layer's AUTO-GENERATED name (conv3d_N / dense_N /
+      batch_normalization_N), nested as subgroups;
+    - Conv3DTranspose kernels stored as (k,k,k,out,in).
+    """
+    from flax import traverse_util
+
+    pflat = traverse_util.flatten_dict(variables["params"], sep="/")
+    sflat = traverse_util.flatten_dict(
+        variables.get("batch_stats", {}), sep="/")
+
+    inv_param = {"scale": "gamma", "bias_bn": "beta"}
+    layers = {}
+    for key, val in pflat.items():
+        layer, leaf = key.split("/")[-2], key.split("/")[-1]
+        val = np.asarray(val)
+        is_bn = leaf == "scale" or (leaf == "bias" and any(
+            f"{key.rsplit('/', 1)[0]}/scale" == k for k in pflat))
+        if leaf == "scale":
+            leaf = "gamma"
+        elif is_bn and leaf == "bias":
+            leaf = "beta"
+        elif leaf == "kernel" and "deconv" in layer:
+            val = np.swapaxes(val, -1, -2)
+        layers.setdefault(layer, {})[leaf] = val
+    for key, val in sflat.items():
+        layer, leaf = key.split("/")[-2], key.split("/")[-1]
+        name = {"mean": "moving_mean", "var": "moving_variance"}[leaf]
+        layers.setdefault(layer, {})[name] = np.asarray(val)
+
+    order = ("kernel", "bias", "gamma", "beta", "moving_mean",
+             "moving_variance")
+    weightless = ["input_image", "input_image_meta", "anchors",
+                  "pool_reshape", "mrcnn_class", "mrcnn_bbox",
+                  "roi_align_classifier", "roi_align_mask", "ROI"]
+    counters = {"conv3d": 0, "dense": 0, "batch_normalization": 0}
+
+    with h5py.File(path, "w") as f:
+        f.attrs["layer_names"] = [np.bytes_(n) for n in
+                                  sorted(layers) + weightless]
+        f.attrs["backend"] = np.bytes_("tensorflow")
+        f.attrs["keras_version"] = np.bytes_("2.3.1")
+        for name in sorted(layers):
+            g = f.create_group(name)
+            inner = name
+            if name.startswith("mrcnn_"):
+                # TimeDistributed wrapper: inner layer is auto-named.
+                if "bn" in name:
+                    kind = "batch_normalization"
+                elif any(l.ndim == 2 for l in layers[name].values()):
+                    kind = "dense"
+                else:
+                    kind = "conv3d"
+                counters[kind] += 1
+                inner = f"{kind}_{counters[kind]}"
+            wnames = []
+            for leaf in sorted(layers[name],
+                               key=lambda x: order.index(x)):
+                wn = f"{inner}/{leaf}:0"
+                g.create_dataset(wn, data=layers[name][leaf])
+                wnames.append(np.bytes_(wn))
+            g.attrs["weight_names"] = wnames
+        for name in weightless:
+            g = f.create_group(name)
+            g.attrs["weight_names"] = []
+    return path
+
+
+def test_keras231_timedistributed_layout_loads_fully(tiny, tmp_path):
+    """A genuinely Keras-2.3.1-shaped file (TimeDistributed nesting,
+    auto-named inner layers, weightless layers listed) must map 100% of
+    res*/bn*/fpn_*/rpn_*/mrcnn_* leaves — the loader keys on the wrapper
+    group name, as the reference's suffix surgery does
+    (core/models.py:4924-5061)."""
+    _, model, variables = tiny
+    donor = init_params(model, jax.random.PRNGKey(11))
+    path = str(tmp_path / "keras231.h5")
+    _keras231_fixture(path, donor)
+
+    fresh = init_params(model, jax.random.PRNGKey(7))
+    merged, stats = import_reference_h5(fresh, path)
+
+    assert stats["params"]["missing"] == 0, stats
+    assert stats["params"]["skipped"] == 0, stats
+    want = _leaves(donor["params"])
+    got = _leaves(merged["params"])
+    for k in want:
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+    if "batch_stats" in donor:
+        assert stats["batch_stats"].get("missing", 0) == 0, stats
+        wb, gb = _leaves(donor["batch_stats"]), _leaves(
+            merged["batch_stats"])
+        for k in wb:
+            np.testing.assert_array_equal(
+                np.asarray(gb[k]), np.asarray(wb[k]), err_msg=k)

@@ -9,6 +9,8 @@ from m3d.config import Config
 from m3d.data import synthetic
 from tests.test_train_smoke import tiny_train_config
 
+pytestmark = pytest.mark.slow  # multi-minute compiles/train loops
+
 
 @pytest.fixture(scope="module")
 def pipeline(tmp_path_factory):

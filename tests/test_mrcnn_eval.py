@@ -13,6 +13,8 @@ from m3d.data import synthetic
 
 from tests.test_train_smoke import tiny_train_config
 
+pytestmark = pytest.mark.slow  # multi-minute compiles/train loops
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):
@@ -62,3 +64,42 @@ def test_evaluate_writes_artifacts_and_summary(data_dir):
     assert vol.min() >= 0
     overlay = os.path.join(out, "overlays", f"{name}_masks_overlay.png")
     assert os.path.exists(overlay)
+
+
+def test_evaluate_nms_stage_removes_duplicates(data_dir):
+    """The reference's final numpy-NMS stage (core/models.py:6911-6991):
+    two near-identical detections that both survive confidence+volume must
+    collapse to ONE in the evaluation cascade, even though the in-graph
+    DETECTION_NMS_THRESHOLD was too loose to remove them."""
+    from m3d.train.mrcnn import MrcnnTrainer
+    from m3d.data.datasets import ToyDataset
+
+    cfg = tiny_train_config(
+        data_dir,
+        MODE="inference",
+        DETECTION_MIN_CONFIDENCE=0.1,
+        DETECTION_NMS_THRESHOLD=0.4,
+        DETECTION_MAX_INSTANCES=8,
+        MIN_ROI_SIZE=0,
+        OUTPUT_DIR=os.path.join(data_dir, "eval_nms_out"),
+    )
+    trainer = MrcnnTrainer(cfg)
+
+    ds = ToyDataset()
+    ds.load_dataset(data_dir, is_train=False,
+                    class_names=tuple(cfg.CLASS_NAMES))
+    ds.prepare()
+
+    # Two overlapping boxes (IoU ~0.9) + padding rows.
+    det = np.zeros((8, 8), np.float32)
+    det[0] = [0.2, 0.2, 0.1, 0.6, 0.6, 0.9, 1, 0.95]
+    det[1] = [0.21, 0.21, 0.1, 0.61, 0.61, 0.9, 1, 0.80]
+    masks = np.zeros((8, 14, 14, 14, cfg.NUM_CLASSES), np.float32)
+    masks[:2, 3:11, 3:11, 3:11, 1] = 0.99
+    out = {"detections": det[None], "mrcnn_masks": masks[None]}
+
+    res = trainer._evaluate_one(ds, 0, out, cfg.OUTPUT_DIR, None,
+                                write_artifacts=False)
+    assert res["n_detections"] == 1, (
+        "duplicate detection survived the evaluate-loop NMS stage"
+    )

@@ -111,6 +111,55 @@ def test_roi_level_assignment():
     assert lv_tiny == 0  # P2
 
 
+def test_crop_and_resize_vjp_matches_numerical_gradient(rng):
+    """The feature-gradient (CropAndResize3DGradImage equivalent) must match
+    central finite differences — trilinear interpolation is linear in the
+    features, so the VJP is exact and tolerances can be tight."""
+    import jax
+    import jax.numpy as jnp
+
+    feats = rng.randn(1, 6, 6, 4, 2).astype(np.float32)
+    boxes = np.array([[0.1, 0.15, 0.0, 0.7, 0.9, 0.8]], np.float32)
+    box_ind = np.array([0], np.int32)
+    cotangent = rng.randn(1, 3, 3, 3, 2).astype(np.float32)
+
+    def scalar_fn(f):
+        out = crop_and_resize_3d(f, boxes, box_ind, (3, 3, 3))
+        return jnp.sum(out * cotangent)
+
+    grad = np.asarray(jax.grad(scalar_fn)(jnp.asarray(feats)))
+
+    eps = 1e-2  # linear in features -> exact for any eps
+    num = np.zeros_like(feats)
+    it = np.ndindex(*feats.shape)
+    for idx in it:
+        fp = feats.copy()
+        fp[idx] += eps
+        fm = feats.copy()
+        fm[idx] -= eps
+        num[idx] = (float(scalar_fn(jnp.asarray(fp)))
+                    - float(scalar_fn(jnp.asarray(fm)))) / (2 * eps)
+    np.testing.assert_allclose(grad, num, atol=5e-3, rtol=1e-3)
+
+
+def test_pyramid_roi_align_stops_box_gradients(rng):
+    """Box gradients are deliberately zero (reference stop_gradient at the
+    ROIAlign call sites, core/models.py:660-661)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=16, NUM_CLASSES=2)
+    meta = default_meta(cfg)[None]
+    feats = [rng.randn(1, 16 >> i, 16 >> i, max(16 >> i, 2), 2
+                       ).astype(np.float32) for i in range(4)]
+    boxes = jnp.asarray([[[0.1, 0.1, 0.1, 0.6, 0.6, 0.6]]], jnp.float32)
+
+    g = jax.grad(
+        lambda b: jnp.sum(pyramid_roi_align(b, meta, feats, 3))
+    )(boxes)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
 def test_pyramid_roi_align_matches_single_level(rng):
     """A ROI routed to level l must equal a direct crop from that level."""
     cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=16, NUM_CLASSES=2)

@@ -20,9 +20,12 @@ from m3d.parallel.spatial import (
     spatial_extract_features,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+    pytest.mark.slow,  # multi-device GSPMD compiles take minutes on CPU
+]
 
 
 def _tiny():

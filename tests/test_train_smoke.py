@@ -10,6 +10,8 @@ import pytest
 from m3d.config import Config
 from m3d.data import synthetic
 
+pytestmark = pytest.mark.slow  # multi-minute compiles/train loops
+
 
 @pytest.fixture(scope="module")
 def data_dir(tmp_path_factory):
