@@ -162,3 +162,38 @@ def normalized_pyramid_anchors(config, image_shape=None, voxel_z_over_y=None) ->
 
     scale = np.array([H, W, D, H, W, D], dtype=np.float32)
     return np.clip(anchors / scale, 0.0, 1.0).astype(np.float32)
+
+
+def bucket_image_shape(shape, xy_multiple: int = 64, z_multiple: int = 8):
+    """Round a volume shape UP to the compile-bucket grid.
+
+    XY must be multiples of 64 (the backbone's stride pyramid constraint,
+    reference core/models.py:3173-3176); z rounds to sublane-friendly
+    multiples of 8. Images are zero-padded up to the bucket and the true
+    extent rides in image_meta's window — one compiled graph serves every
+    volume in the bucket (the reference instead re-patches offline).
+    """
+    h, w, d = (int(v) for v in shape[:3])
+    rh = max(xy_multiple, -(-h // xy_multiple) * xy_multiple)
+    rw = max(xy_multiple, -(-w // xy_multiple) * xy_multiple)
+    rd = max(z_multiple, -(-d // z_multiple) * z_multiple)
+    return (rh, rw, rd)
+
+
+class AnchorCache:
+    """Per-shape normalized anchor pyramid cache (the reference's
+    RPN._anchor_cache, core/models.py:3478-3528, generalized to buckets)."""
+
+    def __init__(self, config, voxel_z_over_y=None):
+        self.config = config
+        self.voxel_z_over_y = voxel_z_over_y
+        self._cache: dict[tuple, np.ndarray] = {}
+
+    def get(self, image_shape) -> np.ndarray:
+        key = tuple(int(v) for v in image_shape[:3])
+        if key not in self._cache:
+            self._cache[key] = normalized_pyramid_anchors(
+                self.config, image_shape=key,
+                voxel_z_over_y=self.voxel_z_over_y,
+            )
+        return self._cache[key]

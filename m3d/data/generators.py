@@ -198,17 +198,37 @@ class MrcnnGenerator(RPNGenerator):
 
     def get_input_prediction(self, image_id):
         """Single normalized inference input (reference:
-        core/data_generators.py:1220-1283)."""
+        core/data_generators.py:1220-1283).
+
+        Variable image sizes: the volume is zero-padded UP to its compile
+        bucket (XY multiple of 64, z multiple of 8) and anchors come from a
+        per-bucket cache — one compiled graph per bucket instead of the
+        reference's offline re-patching (anchor cache parity:
+        core/models.py:3478-3528). The true extent rides in the meta window
+        so evaluation can crop back.
+        """
+        from m3d.anchors import AnchorCache, bucket_image_shape
+
+        if not hasattr(self, "_anchor_cache"):
+            self._anchor_cache = AnchorCache(
+                self.config,
+                voxel_z_over_y=float(
+                    getattr(self.config, "VOXEL_Z_OVER_Y", 1.0)),
+            )
         image = self.dataset.load_image(image_id)
         H, W, D = image.shape[:3]
+        PH, PW, PD = bucket_image_shape((H, W, D))
+        if (PH, PW, PD) != (H, W, D):
+            image = np.pad(
+                image, [(0, PH - H), (0, PW - W), (0, PD - D), (0, 0)])
         meta = compose_image_meta(
-            image_id, (H, W, D, 1), (H, W, D, 1), (0, 0, 0, H, W, D), 1.0,
+            image_id, (H, W, D, 1), (PH, PW, PD, 1), (0, 0, 0, H, W, D), 1.0,
             [1] * int(self.config.NUM_CLASSES),
         )
         return {
             "image": image[None].astype(np.float32),
             "image_meta": meta[None],
-            "anchors": self.anchors,
+            "anchors": self._anchor_cache.get((PH, PW, PD)),
         }
 
 

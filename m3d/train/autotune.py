@@ -45,7 +45,10 @@ def autotune_rpn(dataset, config, max_images: int = 50, verbose: bool = True):
     cfg = config
     scale_step = float(getattr(cfg, "AUTO_TUNE_SNAP_SCALE_STEP", 8))
     ratio_step = float(getattr(cfg, "AUTO_TUNE_SNAP_RATIO_STEP", 0.02))
-    ratio_lo, ratio_hi = getattr(cfg, "AUTO_TUNE_RATIO_RANGE", [0.04, 0.30])
+    # Default range spans anisotropic microscopy (z/xy ~0.05) through
+    # isotropic volumes (ratio ~1+); clamping at 0.30 (the reference's
+    # rats-tuned habit) would cripple isotropic datasets.
+    ratio_lo, ratio_hi = getattr(cfg, "AUTO_TUNE_RATIO_RANGE", [0.02, 2.0])
     scales_limit = int(getattr(cfg, "AUTO_TUNE_SCALES_LIMIT", 8))
     ratios_limit = int(getattr(cfg, "AUTO_TUNE_RATIOS_LIMIT", 8))
 

@@ -263,16 +263,19 @@ class MrcnnTrainer:
         test_ds.prepare()
         gen = MrcnnGenerator(test_ds, cfg, mode="inference", shuffle=False)
 
-        anchors = self.anchors
         # variables as a jit argument (remote-compile constant-size limit).
+        # anchors are an argument too: variable image sizes mean per-bucket
+        # anchor sets — jit recompiles once per bucket shape and caches
+        # (the per-bucket compiled graphs of reference _anchor_cache,
+        # core/models.py:3478-3481).
         variables_dev = jax.device_put(variables)
 
         @jax.jit
-        def infer_v(v, image, image_meta):
+        def infer_v(v, image, image_meta, anchors):
             return model.apply(v, image, image_meta, anchors)
 
-        def infer(image, image_meta):
-            return infer_v(variables_dev, image, image_meta)
+        def infer(image, image_meta, anchors):
+            return infer_v(variables_dev, image, image_meta, anchors)
 
         out_dir = cfg.OUTPUT_DIR
         os.makedirs(out_dir, exist_ok=True)
@@ -290,9 +293,11 @@ class MrcnnTrainer:
             try:
                 inputs = gen.get_input_prediction(image_id)
                 out = jax.device_get(
-                    infer(inputs["image"], inputs["image_meta"]))
+                    infer(inputs["image"], inputs["image_meta"],
+                          inputs["anchors"]))
                 res = self._evaluate_one(test_ds, image_id, out, out_dir,
-                                         overlay_dir, write_artifacts)
+                                         overlay_dir, write_artifacts,
+                                         image_meta=inputs["image_meta"][0])
                 per_image.append(res)
                 all_scores.extend(res["scores"])
             except Exception as e:  # noqa: BLE001 — per-image skip (parity)
@@ -305,13 +310,29 @@ class MrcnnTrainer:
         return summary, per_image
 
     def _evaluate_one(self, dataset, image_id, out, out_dir, overlay_dir,
-                      write_artifacts):
+                      write_artifacts, image_meta=None):
         cfg = self.config
-        H, W, D = (int(v) for v in cfg.IMAGE_SHAPE[:3])
+        if image_meta is not None:
+            meta = np.asarray(image_meta)
+            # Canonical layout (m3d/image_meta.py): original_shape at 1:5,
+            # padded shape at 5:9. Unmold at the padded (bucket) shape,
+            # then crop back to the original window.
+            H, W, D = (int(v) for v in meta[1:4])
+            PH, PW, PD = (int(v) for v in meta[5:8])
+        else:
+            H, W, D = (int(v) for v in cfg.IMAGE_SHAPE[:3])
+            PH, PW, PD = H, W, D
 
         boxes_px, class_ids, scores, masks = unmold_detections(
-            out["detections"][0], out["mrcnn_masks"][0], (H, W, D)
+            out["detections"][0], out["mrcnn_masks"][0], (PH, PW, PD)
         )
+        if (PH, PW, PD) != (H, W, D):
+            masks = masks[:H, :W, :D]
+            boxes_px = np.stack([
+                np.clip(boxes_px[:, 0], 0, H), np.clip(boxes_px[:, 1], 0, W),
+                np.clip(boxes_px[:, 2], 0, D), np.clip(boxes_px[:, 3], 0, H),
+                np.clip(boxes_px[:, 4], 0, W), np.clip(boxes_px[:, 5], 0, D),
+            ], axis=1) if len(boxes_px) else boxes_px
 
         # Filter cascade (core/models.py:6911-6991): confidence, then volume,
         # then host greedy NMS — the reference's final numpy NMS stage, which

@@ -150,7 +150,22 @@ class RPNTrainer:
         if getattr(cfg, "AUTO_TUNE_RPN", False):
             from m3d.train.autotune import autotune_rpn
 
-            autotune_rpn(train_ds, cfg)
+            patch = autotune_rpn(train_ds, cfg)
+            # AUTO_TUNE_APPLY: apply the recommendation in-process and
+            # rebuild anchors (+ the model, whose RPN head width depends on
+            # the ratio count) instead of just printing it — the
+            # reference's AutoTune only prints a copy-paste JSON
+            # (core/models.py:2923-2935).
+            if patch and getattr(cfg, "AUTO_TUNE_APPLY", False):
+                for k, v in patch.items():
+                    setattr(cfg, k, v)
+                self.model = MaskRCNN.from_config(cfg, mode="training")
+                self.anchors = normalized_pyramid_anchors(
+                    cfg,
+                    voxel_z_over_y=float(getattr(cfg, "VOXEL_Z_OVER_Y", 1.0)),
+                )
+                print(f"[AutoTuneRPN] applied patch; anchors rebuilt "
+                      f"({self.anchors.shape[0]} anchors)")
         gen = RPNGenerator(train_ds, cfg, mode="training",
                            seed=int(getattr(cfg, "SEED", 0)),
                            telemetry=self.telemetry)

@@ -103,3 +103,45 @@ def test_evaluate_nms_stage_removes_duplicates(data_dir):
     assert res["n_detections"] == 1, (
         "duplicate detection survived the evaluate-loop NMS stage"
     )
+
+
+def test_variable_image_size_bucketing(tmp_path):
+    """A 48x48x12 volume (not the config's 64x64x8) must evaluate through
+    the bucket path: zero-pad to 64x64x16, per-bucket anchors from the
+    cache, unmold at the bucket shape, crop back to the true window."""
+    from m3d.data.generators import MrcnnGenerator
+    from m3d.data.datasets import ToyDataset
+    from m3d.train.mrcnn import MrcnnTrainer
+    from m3d.anchors import bucket_image_shape
+
+    assert bucket_image_shape((48, 48, 12)) == (64, 64, 16)
+    assert bucket_image_shape((64, 64, 8)) == (64, 64, 8)
+    assert bucket_image_shape((65, 130, 17)) == (128, 192, 24)
+
+    d = str(tmp_path / "var")
+    synthetic.generate_experiment(2, 48, d, seed=21, image_depth=12)
+    synthetic.split_dataset(d, test_ratio=0.5)
+
+    cfg = tiny_train_config(
+        d, MODE="inference", IMAGE_SIZE=64, IMAGE_DEPTH=16,
+        DETECTION_MIN_CONFIDENCE=0.0, MIN_ROI_SIZE=0,
+        OUTPUT_DIR=os.path.join(d, "eval_out"),
+    )
+    ds = ToyDataset()
+    ds.load_dataset(d, is_train=False, class_names=tuple(cfg.CLASS_NAMES))
+    ds.prepare()
+    gen = MrcnnGenerator(ds, cfg, mode="inference", shuffle=False)
+    inputs = gen.get_input_prediction(0)
+    assert inputs["image"].shape == (1, 64, 64, 16, 1)
+    meta = inputs["image_meta"][0]
+    assert tuple(int(v) for v in meta[1:4]) == (48, 48, 12)   # original
+    assert tuple(int(v) for v in meta[5:8]) == (64, 64, 16)   # padded
+    # Padding region is exactly zero.
+    assert float(np.abs(inputs["image"][0, 48:]).max()) == 0.0
+
+    trainer = MrcnnTrainer(cfg)
+    summary, per_image = trainer.evaluate(max_images=1)
+    assert per_image, "variable-size image failed to evaluate"
+    # Metrics computed at the ORIGINAL 48x48x12 extent.
+    res = per_image[0]
+    assert res["n_gt"] > 0
