@@ -44,29 +44,16 @@ def init_params(model: "MaskRCNN", key, num_classes: int | None = None,
     """
     import numpy as np
 
-    from m3d.anchors import normalized_pyramid_anchors
-    from m3d.config import Config
-    from m3d.image_meta import default_meta
-
-    nc = num_classes or model.num_classes
-    # The tiny config must share the model's true stride pyramid so the
-    # anchor grid matches the traced network.
-    tiny = Config(
-        IMAGE_SIZE=64, IMAGE_DEPTH=8, NUM_CLASSES=nc,
-        BACKBONE_STRIDES=[list(s) for s in model.backbone_strides],
-        RPN_ANCHOR_SCALES=tuple(8 * (i + 1) for i in range(5)),
-        RPN_ANCHOR_RATIOS=[1.0] * model.num_ratios,
-    )
     image = np.zeros((1, 64, 64, 8, channels), np.float32)
-    anchors = normalized_pyramid_anchors(tiny)
-    meta = default_meta(tiny)[None]
     small = model.clone(
-        pre_nms_limit=min(model.pre_nms_limit, anchors.shape[0]),
+        pre_nms_limit=64,
         post_nms_rois=min(model.post_nms_rois, 64),
         detection_max_instances=min(model.detection_max_instances, 8),
         image_depth=8,
     )
-    return small.init(key, image, meta, anchors)
+    # init_forward touches every parameterized submodule but skips the
+    # proposal/NMS/detection graph — init compiles in seconds, not minutes.
+    return small.init(key, image, method=MaskRCNN.init_forward)
 
 
 class MaskRCNN(nn.Module):
@@ -251,6 +238,25 @@ class MaskRCNN(nn.Module):
             "mrcnn_bbox": bbox,
             "mrcnn_masks": masks,
         }
+
+    def init_forward(self, image):
+        """Cheap parameter-initialization pass: touches every submodule
+        (backbone, FPN, RPN head, classifier, mask head) without tracing the
+        proposal/NMS/detection machinery. Parameter shapes are identical to
+        the full forward — used by ``init_params`` so initialization costs a
+        small conv compile instead of the full inference graph (which on a
+        1-core CPU host or through the remote-compile tunnel costs minutes).
+        """
+        feats = self.extract_features(image)
+        logits, probs, deltas = self.rpn_forward(feats)
+        b = image.shape[0]
+        c = feats[0].shape[-1]
+        p, m = self.pool_size, self.mask_pool_size
+        ra = jnp.zeros((b, 1, p, p, p, c), self.dtype)
+        ma = jnp.zeros((b, 1, m, m, m, c), self.dtype)
+        cls_out = self.classifier(ra)
+        mask_out = self.mask_head(ma)
+        return logits, cls_out, mask_out
 
     def __call__(self, image, image_meta, anchors):
         """Full inference (reference MaskRCNN.build inference branch,
