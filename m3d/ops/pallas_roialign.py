@@ -172,25 +172,36 @@ def _kernel(meta_ref,            # scalar-prefetch: [Npad, 5] int32
 
 
 def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
-                 wy_ref, wx_ref, wz_ref,   # [1, p, Smax] f32 blocks
+                 wy_ref, wx_ref, wz_ref,   # [R, p, Smax] f32 blocks
                  f2_ref, f3_ref, f4_ref, f5_ref,  # [B, H, W, D, C] (HBM)
-                 out_ref,            # [1, p, p, p, Ck] (VMEM)
+                 out_ref,            # [R, p, p, p, Ck] (VMEM)
                  s2, s3, s4, s5,     # VMEM scratch: one level x chunk x image
                  sems):              # DMA semaphores [4]
-    """VMEM-resident variant: grid (c_chunks, B, n_per_image).
+    """VMEM-resident variant: grid (c_chunks, B, n_steps), R ROIs per step.
 
     At the start of each (chunk, image) stripe the four pyramid levels of
     that image's channel chunk are copied into VMEM once; every ROI then
     contracts the FULL level with dense separable weight matrices on the
     MXU — no per-ROI DMA, no slab origins, exact for any ROI extent. Only
     usable when the per-image per-chunk pyramid fits VMEM (the dispatcher
-    checks); per-ROI cost is pure MXU streaming from VMEM (~1-2us).
+    checks).
+
+    R-batching: the expensive stage-1 contraction (over the full level
+    extent) runs ONCE per step per level as a single [R*p, H] x [H, W*D*Ck]
+    matmul — every ROI against every level, with the ROI's true level
+    selected by mask at the end. The extra levels cost ~12% FLOPs (the
+    finest level dominates 8:1) and buy MXU-shaped matmuls plus Rx fewer
+    grid steps; stages 2-3 run on already-contracted [p, ...] tensors.
+    Per-ROI weight rows beyond a level's true extent are zero, so the
+    cross-level contractions never leak padding.
     """
     j = pl.program_id(0)
     b = pl.program_id(1)
     i = pl.program_id(2)
-    n_img = pl.num_programs(2)
+    n_steps = pl.num_programs(2)
     ck = out_ref.shape[4]
+    r_b = out_ref.shape[0]
+    p = out_ref.shape[1]
 
     srefs = (s2, s3, s4, s5)
     frefs = (f2_ref, f3_ref, f4_ref, f5_ref)
@@ -215,9 +226,7 @@ def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
                 sems.at[lv],
             ).wait()
 
-    ii = b * n_img + i
-    level = meta_ref[ii, 0]
-    p = out_ref.shape[1]
+    base = (b * n_steps + i) * r_b
 
     def contract_front(w, t, out_dtype):
         r = jax.lax.dot_general(
@@ -227,39 +236,51 @@ def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
         )
         return r.astype(out_dtype)
 
+    acc = jnp.zeros((r_b, p, p, p, ck), jnp.float32)
     for lv in range(4):
-        @pl.when(level == lv)
-        def _(lv=lv):
-            sref = srefs[lv]
-            h, w, d = sref.shape[0], sref.shape[1], sref.shape[2]
-            slab = sref[...]                       # [H, W, D, Ck]
-            cd = slab.dtype
-            wy = wy_ref[0, :, :h]                  # [p, H]
-            wx = wx_ref[0, :, :w]
-            wz = wz_ref[0, :, :d]
-            t1 = contract_front(wy, slab.reshape(h, w * d * ck), cd)
-            t1 = jnp.transpose(t1.reshape(p, w, d * ck), (1, 0, 2)).reshape(
-                w, p * d * ck)
-            t2 = contract_front(wx, t1, cd)        # [p(x), p(y)*D*Ck]
+        sref = srefs[lv]
+        h, w, d = sref.shape[0], sref.shape[1], sref.shape[2]
+        slab = sref[...]                           # [H, W, D, Ck]
+        cd = slab.dtype
+        wy = wy_ref[:, :, :h].reshape(r_b * p, h)  # [R*p, H]
+        # Stage 1, batched over ROIs: one MXU call for the full-extent axis.
+        t1 = contract_front(wy, slab.reshape(h, w * d * ck), cd)
+        t1 = t1.reshape(r_b, p, w, d * ck)
+        outs = []
+        for r in range(r_b):
+            wx = wx_ref[r, :, :w]
+            wz = wz_ref[r, :, :d]
+            t1r = jnp.transpose(t1[r], (1, 0, 2)).reshape(w, p * d * ck)
+            t2 = contract_front(wx, t1r, cd)       # [p(x), p(y)*D*Ck]
             t2 = jnp.transpose(t2.reshape(p, p, d, ck), (2, 0, 1, 3)
                                ).reshape(d, p * p * ck)
             t3 = contract_front(wz, t2, jnp.float32)   # [p(z), x*y*Ck]
-            out = jnp.transpose(t3.reshape(p, p, p, ck), (2, 1, 0, 3))
-            out_ref[0] = out.astype(out_ref.dtype)
+            outs.append(jnp.transpose(t3.reshape(p, p, p, ck), (2, 1, 0, 3)))
+        out_lv = jnp.stack(outs)                   # [R, p, p, p, ck]
+        sel = jnp.stack([
+            (meta_ref[base + r, 0] == lv).astype(jnp.float32)
+            for r in range(r_b)
+        ])                                          # [R]
+        acc = acc + out_lv * sel[:, None, None, None, None]
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pool_size", "n_per_image", "interpret")
+    jax.jit,
+    static_argnames=("pool_size", "n_per_image", "r_batch", "interpret"),
 )
 def pallas_pyramid_roi_align_vmem(levels, wy, wx, wz, feature_maps,
                                   pool_size: int, n_per_image: int,
+                                  r_batch: int = 1,
                                   interpret: bool = False):
     """VMEM-resident pyramid ROIAlign.
 
     levels: [N] int32 (N = B * n_per_image, image-major ROI order);
     wy/wx/wz: [N, p, Smax] dense full-extent weights (Smax >= the largest
     level extent on that axis; rows beyond a level's extent must be zero);
-    feature_maps: 4 arrays [B, H_l, W_l, D_l, C].
+    feature_maps: 4 arrays [B, H_l, W_l, D_l, C];
+    r_batch: ROIs per grid step (must divide n_per_image) — batches the
+    full-extent stage-1 contraction into one MXU call per level.
     Returns [N, p, p, p, C] in the features' dtype.
     """
     n = levels.shape[0]
@@ -267,31 +288,33 @@ def pallas_pyramid_roi_align_vmem(levels, wy, wx, wz, feature_maps,
     c = feature_maps[0].shape[-1]
     bsz = feature_maps[0].shape[0]
     assert n == bsz * n_per_image
+    r_b = int(r_batch)
+    assert n_per_image % r_b == 0, (n_per_image, r_b)
     ck = min(c, 128)
     assert c % ck == 0
     c_chunks = c // ck
 
     meta = levels[:, None].astype(jnp.int32)
 
-    n_img = int(n_per_image)
+    n_steps = int(n_per_image) // r_b
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(c_chunks, bsz, n_img),
+        grid=(c_chunks, bsz, n_steps),
         in_specs=[
-            pl.BlockSpec((1, p, wy.shape[2]),
-                         lambda j, b, i, meta: (b * n_img + i, 0, 0)),
-            pl.BlockSpec((1, p, wx.shape[2]),
-                         lambda j, b, i, meta: (b * n_img + i, 0, 0)),
-            pl.BlockSpec((1, p, wz.shape[2]),
-                         lambda j, b, i, meta: (b * n_img + i, 0, 0)),
+            pl.BlockSpec((r_b, p, wy.shape[2]),
+                         lambda j, b, i, meta: (b * n_steps + i, 0, 0)),
+            pl.BlockSpec((r_b, p, wx.shape[2]),
+                         lambda j, b, i, meta: (b * n_steps + i, 0, 0)),
+            pl.BlockSpec((r_b, p, wz.shape[2]),
+                         lambda j, b, i, meta: (b * n_steps + i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (1, p, p, p, ck),
-            lambda j, b, i, meta: (b * n_img + i, 0, 0, 0, j),
+            (r_b, p, p, p, ck),
+            lambda j, b, i, meta: (b * n_steps + i, 0, 0, 0, j),
         ),
         scratch_shapes=[
             pltpu.VMEM(tuple(fm.shape[1:4]) + (ck,), feature_maps[0].dtype)

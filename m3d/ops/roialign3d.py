@@ -392,8 +392,26 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
             for fm in feature_maps
         ]
         dims = jnp.asarray([fm.shape[1:4] for fm in feature_maps], jnp.int32)
-        boxes_f = boxes.reshape(bsz * n, 6)
-        levels_f = levels.reshape(bsz * n)
+        # R-batching: stage-1 contracts R ROIs per grid step in one MXU
+        # call; its [R*p, Wmax*Dmax*ck] intermediate must coexist with the
+        # resident pyramid in VMEM.
+        wd_max = (max(fm.shape[2] for fm in fms)
+                  * max(fm.shape[3] for fm in fms))
+        for r_batch in (_VMEM_R_CAP, 8, 4, 2, 1):
+            if r_batch > _VMEM_R_CAP:
+                continue
+            t1_bytes = r_batch * p * wd_max * ck * itemsize
+            if vm_bytes + 2 * t1_bytes <= 24 * 1024 * 1024:
+                break
+        n_pad = (-n) % r_batch
+        if n_pad:
+            boxes = jnp.concatenate(
+                [boxes, jnp.zeros((bsz, n_pad, 6), boxes.dtype)], axis=1)
+            levels = jnp.concatenate(
+                [levels, jnp.zeros((bsz, n_pad), levels.dtype)], axis=1)
+        n_tot = n + n_pad
+        boxes_f = boxes.reshape(bsz * n_tot, 6)
+        levels_f = levels.reshape(bsz * n_tot)
         rd = dims[levels_f]
         hy = rd[:, 0].astype(jnp.float32)
         wx_d = rd[:, 1].astype(jnp.float32)
@@ -413,10 +431,10 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
         _, wz = _axis_slab_weights(pos_z, dz, d_max,
                                    origin_dim=jnp.full_like(dz, d_max))
         out = pallas_pyramid_roi_align_vmem(
-            levels_f, wy, wx, wz, fms, p, n,
-            interpret=interpret,
+            levels_f, wy, wx, wz, fms, p, n_tot,
+            r_batch=r_batch, interpret=interpret,
         )
-        out = out.reshape(bsz, n, p, p, p, -1)
+        out = out.reshape(bsz, n_tot, p, p, p, -1)[:, :n]
         # Features' dtype (bf16 on TPU) — the heads cast to their compute
         # dtype anyway; an f32 round-trip here would double HBM traffic.
         return jnp.where(jnp.isfinite(out), out, jnp.zeros((), out.dtype))
@@ -535,6 +553,12 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
         out = jnp.where(sel == t, outs[t], out)
     out = out[inv_order].reshape(bsz, n, p, p, p, -1)
     return jnp.where(jnp.isfinite(out), out, jnp.zeros((), out.dtype))
+
+
+# ROIs per grid step in the VMEM-resident pallas kernel (see
+# m3d/ops/pallas_roialign.py). Capped at 1 pending on-hardware validation of
+# the batched stage-1 contraction; scripts/bench_roialign_vmem.py measures.
+_VMEM_R_CAP = 1
 
 
 def pyramid_roi_align_auto(boxes, image_meta, feature_maps, pool_size,

@@ -358,6 +358,10 @@ def _save_target_npz(split_dir, name, **arrays):
             np.savez_compressed(path, mask=packed,
                                 shape=np.asarray(arr.shape))
         else:
-            np.savez_compressed(path, arr=arr)
+            # Uncompressed: the fp16 aligned features are ~90MB/image of
+            # high-entropy floats — zlib shrinks them <10% but costs ~60s
+            # per image on a small host (it dominated the whole targeting
+            # stage). np.load reads both containers transparently.
+            np.savez(path, arr=arr)
         paths[key] = path
     return paths
