@@ -331,10 +331,14 @@ class HeadTrainer:
         it = prefetch_to_device(
             shard_batch(self.mesh, b) for b in iter(gen)
         )
+        from m3d.train.profiling import EpochProfiler
+
+        profiler = EpochProfiler(cfg)
         history = []
         lr = get_learning_rate(opt_state)
         for epoch in range(int(cfg.FROM_EPOCH), int(cfg.EPOCHS)):
             t0 = time.time()
+            profiler.maybe_start(epoch)
             agg: dict[str, list] = {}
             for _ in range(steps):
                 batch = next(it)
@@ -342,6 +346,7 @@ class HeadTrainer:
                     params, opt_state, batch_stats, batch)
                 for k, v in jax.device_get(metrics).items():
                     agg.setdefault(k, []).append(float(v))
+            profiler.maybe_stop(epoch)
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
 
             if val_gen is not None and eval_fn is not None:

@@ -218,10 +218,14 @@ class MrcnnTrainer:
         it = prefetch_to_device(
             shard_batch(self.mesh, b) for b in iter(gen)
         )
+        from m3d.train.profiling import EpochProfiler
+
+        profiler = EpochProfiler(cfg)
         history = []
         lr = get_learning_rate(opt_state)
         for epoch in range(int(cfg.FROM_EPOCH), int(cfg.EPOCHS)):
             t0 = time.time()
+            profiler.maybe_start(epoch)
             agg: dict[str, list] = {}
             for _ in range(steps):
                 batch = next(it)
@@ -230,6 +234,7 @@ class MrcnnTrainer:
                     params, opt_state, batch_stats, batch, sub)
                 for k, v in jax.device_get(metrics).items():
                     agg.setdefault(k, []).append(float(v))
+            profiler.maybe_stop(epoch)
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
             variables = {"params": params, "batch_stats": batch_stats}
             ckpt.update(epoch, variables, epoch_metrics["loss"],

@@ -188,10 +188,14 @@ class RPNTrainer:
         it = prefetch_to_device(
             shard_batch(self.mesh, b) for b in iter(gen)
         )
+        from m3d.train.profiling import EpochProfiler
+
+        profiler = EpochProfiler(cfg)
         history = []
         lr = get_learning_rate(opt_state)
         for epoch in range(int(cfg.FROM_EPOCH), int(cfg.EPOCHS)):
             t0 = time.time()
+            profiler.maybe_start(epoch)
             agg: dict[str, list] = {}
             for _ in range(steps):
                 batch = next(it)
@@ -200,6 +204,7 @@ class RPNTrainer:
                 )
                 for k, v in jax.device_get(metrics).items():
                     agg.setdefault(k, []).append(float(v))
+            profiler.maybe_stop(epoch)
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
 
             # Eval: proposal quality on the test subset; telemetry gets the
