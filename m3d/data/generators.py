@@ -124,17 +124,25 @@ class RPNGenerator:
             image_id, (H, W, D, 1), (H, W, D, 1), (0, 0, 0, H, W, D), 1.0,
             [1] * int(cfg.NUM_CLASSES),
         )
+        if masks is None:
+            masks = np.zeros((H, W, D, 0), np.float32)
+        if getattr(cfg, "USE_MINI_MASK", False):
+            # Store each instance's mask cropped to its GT box and resized
+            # to MINI_MASK_SHAPE (reference core/config.py:28-29,
+            # core/utils.py minimize_mask): ~H*W*D/prod(mini) less host
+            # memory per batch; detection_targets crops from mini-masks in
+            # GT-relative coordinates (use_mini_mask=True).
+            from m3d.utils.minimask import minimize_mask
+
+            masks = minimize_mask(
+                boxes.astype(np.int32), masks,
+                tuple(int(v) for v in cfg.MINI_MASK_SHAPE))
         return {
             "image": image.astype(np.float32),
             "image_meta": meta,
             "gt_class_ids": pad_to(class_ids.astype(np.int32), G),
             "gt_boxes": pad_to(boxes_norm.astype(np.float32), G),
-            "gt_masks": pad_to(
-                masks.astype(np.float32)
-                if masks is not None
-                else np.zeros((H, W, D, 0), np.float32),
-                G, axis=3,
-            ),
+            "gt_masks": pad_to(masks.astype(np.float32), G, axis=3),
         }
 
     def __iter__(self):

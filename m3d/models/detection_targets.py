@@ -43,7 +43,8 @@ def _sample_k(key, eligible, cap: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("train_rois_per_image", "roi_positive_ratio", "mask_shape"),
+    static_argnames=("train_rois_per_image", "roi_positive_ratio",
+                     "mask_shape", "use_mini_mask"),
 )
 def detection_targets(key, proposals, gt_class_ids, gt_boxes, gt_masks,
                       bbox_std_dev,
@@ -51,7 +52,8 @@ def detection_targets(key, proposals, gt_class_ids, gt_boxes, gt_masks,
                       roi_positive_ratio: float,
                       positive_iou_threshold,
                       negative_iou_threshold,
-                      mask_shape: tuple = (28, 28, 28)):
+                      mask_shape: tuple = (28, 28, 28),
+                      use_mini_mask: bool = False):
     """Single-image target sampling. Batch via vmap(detection_targets).
 
     Args:
@@ -59,7 +61,13 @@ def detection_targets(key, proposals, gt_class_ids, gt_boxes, gt_masks,
       proposals: [P, 6] normalized, zero-padded.
       gt_class_ids: [G] int (0 = padding).
       gt_boxes: [G, 6] normalized, zero-padded.
-      gt_masks: [H, W, D, G] float/bool full-resolution instance masks.
+      gt_masks: [H, W, D, G] float/bool full-resolution instance masks —
+        or, with use_mini_mask, [mH, mW, mD, G] mini-masks where each
+        instance's mask spans exactly its GT box (m3d.utils.minimask).
+      use_mini_mask: crop mask targets in GT-box-relative coordinates
+        (reference core/models.py:975-993): each positive ROI box is
+        re-expressed relative to its assigned GT box before the
+        crop-and-resize, because the mini-mask's unit cube IS the GT box.
 
     Returns dict with fixed shapes (T = train_rois_per_image):
       rois [T,6], gt_boxes [T,6], class_ids [T], deltas [T,6],
@@ -110,10 +118,20 @@ def detection_targets(key, proposals, gt_class_ids, gt_boxes, gt_masks,
 
     # Crop assigned GT masks to mask_shape for positive slots only
     # (positives always occupy the first pos_cap slots).
+    crop_boxes = rois[:pos_cap]
+    if use_mini_mask:
+        # Mini-masks cover exactly the GT box, so express the ROI in the GT
+        # box's normalized frame (padded slots: extent clamped, result
+        # zeroed by the positive-slot mask below).
+        gt_b = assigned_gt_boxes[:pos_cap]
+        corner = jnp.concatenate([gt_b[:, :3], gt_b[:, :3]], axis=1)
+        extent = jnp.concatenate(
+            [gt_b[:, 3:] - gt_b[:, :3], gt_b[:, 3:] - gt_b[:, :3]], axis=1)
+        crop_boxes = (crop_boxes - corner) / jnp.maximum(extent, 1e-6)
     masks_t = jnp.transpose(gt_masks, (3, 0, 1, 2))[..., None].astype(jnp.float32)
     crop = crop_and_resize_3d(
         masks_t,
-        rois[:pos_cap],
+        crop_boxes,
         gt_assign[:pos_cap].astype(jnp.int32),
         mask_shape,
     )[..., 0]                                               # [pos_cap, *mask_shape]
@@ -137,7 +155,8 @@ def detection_targets(key, proposals, gt_class_ids, gt_boxes, gt_masks,
 def detection_targets_batch(key, proposals, gt_class_ids, gt_boxes, gt_masks,
                             bbox_std_dev, train_rois_per_image,
                             roi_positive_ratio, positive_iou_threshold,
-                            negative_iou_threshold, mask_shape=(28, 28, 28)):
+                            negative_iou_threshold, mask_shape=(28, 28, 28),
+                            use_mini_mask=False):
     """vmapped-over-batch wrapper. proposals: [B,P,6], gt_*: [B,...]."""
     bsz = proposals.shape[0]
     keys = jax.random.split(key, bsz)
@@ -149,5 +168,6 @@ def detection_targets_batch(key, proposals, gt_class_ids, gt_boxes, gt_masks,
         positive_iou_threshold=positive_iou_threshold,
         negative_iou_threshold=negative_iou_threshold,
         mask_shape=mask_shape,
+        use_mini_mask=use_mini_mask,
     )
     return jax.vmap(fn)(keys, proposals, gt_class_ids, gt_boxes, gt_masks)

@@ -238,7 +238,7 @@ class HeadTrainer:
                     int(cfg.TRAIN_ROIS_PER_IMAGE),
                     float(cfg.ROI_POSITIVE_RATIO),
                     float(cfg.RPN_POSITIVE_IOU), float(cfg.RPN_NEGATIVE_IOU),
-                    mask_shape,
+                    mask_shape, use_mini_mask=bool(cfg.USE_MINI_MASK),
                 )
                 # The trunk (backbone/FPN/RPN) is ALWAYS frozen in e2e mode
                 # (_is_frozen_for_e2e; reference core/models.py:4626-4701

@@ -128,7 +128,7 @@ class MrcnnTrainer:
                     int(cfg.TRAIN_ROIS_PER_IMAGE),
                     float(cfg.ROI_POSITIVE_RATIO),
                     float(cfg.RPN_POSITIVE_IOU), float(cfg.RPN_NEGATIVE_IOU),
-                    mask_shape,
+                    mask_shape, use_mini_mask=bool(cfg.USE_MINI_MASK),
                 )
                 feats = rpn_out["feature_maps"][:4]
                 ra = pyramid_roi_align(targets["rois"], batch["image_meta"],

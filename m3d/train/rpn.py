@@ -275,7 +275,7 @@ class RPNTrainer:
                 jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),
                 int(cfg.TRAIN_ROIS_PER_IMAGE), float(cfg.ROI_POSITIVE_RATIO),
                 float(cfg.RPN_POSITIVE_IOU), float(cfg.RPN_NEGATIVE_IOU),
-                mask_shape,
+                mask_shape, use_mini_mask=bool(cfg.USE_MINI_MASK),
             )
             feats = out["feature_maps"][:4]
             rois_aligned = pyramid_roi_align(

@@ -54,3 +54,72 @@ def test_minimize_empty_and_degenerate_boxes(rng):
     back = expand_mask(boxes, mini, (32, 32, 32))
     assert not back[..., 0].any()
     assert back[..., 1].sum() > 0
+
+
+def test_detection_targets_mini_matches_full(rng):
+    """use_mini_mask crops from GT-relative coordinates and agrees with the
+    full-resolution path (reference core/models.py:975-993)."""
+    import jax
+    import jax.numpy as jnp
+
+    from m3d.models.detection_targets import detection_targets
+
+    shape = (48, 48, 24)
+    boxes_px, masks = _volume_with_boxes(rng, shape=shape, n=3)
+    scale = np.array([shape[0], shape[1], shape[2]] * 2, np.float32)
+    gt_boxes = (boxes_px / scale).astype(np.float32)
+    gt_class_ids = np.ones(3, np.int32)
+    mini = minimize_mask(boxes_px, masks, (28, 28, 28))
+
+    # proposals: the GT boxes plus slight jitter -> guaranteed positives
+    props = np.concatenate(
+        [gt_boxes, np.clip(gt_boxes + rng.uniform(-0.02, 0.02, (3, 6)), 0, 1)]
+    ).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    kw = dict(
+        bbox_std_dev=jnp.ones(6, jnp.float32),
+        train_rois_per_image=8, roi_positive_ratio=0.5,
+        positive_iou_threshold=0.5, negative_iou_threshold=0.3,
+        mask_shape=(14, 14, 14),
+    )
+    full = detection_targets(
+        key, jnp.asarray(props), jnp.asarray(gt_class_ids),
+        jnp.asarray(gt_boxes), jnp.asarray(masks, jnp.float32), **kw)
+    minir = detection_targets(
+        key, jnp.asarray(props), jnp.asarray(gt_class_ids),
+        jnp.asarray(gt_boxes), jnp.asarray(mini, jnp.float32),
+        use_mini_mask=True, **kw)
+
+    # Same key -> identical sampling; masks agree up to the mini resize.
+    np.testing.assert_allclose(full["rois"], minir["rois"], atol=1e-6)
+    n_pos = int(full["pos_count"])
+    assert n_pos >= 2
+    for i in range(n_pos):
+        a = np.asarray(full["masks"][i]) > 0.5
+        b = np.asarray(minir["masks"][i]) > 0.5
+        dice = 2 * (a & b).sum() / max(a.sum() + b.sum(), 1)
+        assert dice > 0.80, (i, dice)
+
+
+def test_generator_emits_mini_masks(tmp_path, rng):
+    """USE_MINI_MASK in config makes _sample_gt store MINI_MASK_SHAPE masks."""
+    from m3d.config import Config
+    from m3d.data import synthetic
+    from m3d.data.datasets import ToyDataset
+    from m3d.data.generators import MrcnnGenerator
+
+    root = str(tmp_path / "ds")
+    synthetic.generate_experiment(2, 32, root, seed=0, image_depth=16)
+    synthetic.split_dataset(root, test_ratio=0.5)
+    ds = ToyDataset()
+    ds.load_dataset(root, is_train=True)
+    ds.prepare()
+
+    cfg = Config(IMAGE_SIZE=32, IMAGE_DEPTH=16, MAX_GT_INSTANCES=8,
+                 USE_MINI_MASK=True, MINI_MASK_SHAPE=(14, 14, 14),
+                 IMAGES_PER_GPU=1, GPU_COUNT=1, NUM_CLASSES=2)
+    gen = MrcnnGenerator(ds, cfg, mode="targeting", shuffle=False)
+    s = gen._sample_gt(0)
+    assert s["gt_masks"].shape[:3] == (14, 14, 14)
+    assert s["gt_masks"].shape[3] == 8
+    assert s["gt_masks"].sum() > 0
