@@ -113,6 +113,25 @@ def conv3d_zdec(x, kernel, strides=(1, 1, 1), padding="SAME",
     return y.reshape(b, d_out, ho, wo, cout).transpose(0, 2, 3, 1, 4)
 
 
+def conv3d_fc(x, kernel, preferred_element_type=None):
+    """VALID conv whose kernel extent equals the input extent == one matmul.
+
+    x: [N, h, w, d, Cin], kernel: [h, w, d, Cin, Cout] -> [N, 1, 1, 1, Cout].
+    The classifier head's pool-cube conv (7^3 VALID over a 7^3 input,
+    reference core/models.py:5697-5709) is this case: XLA:TPU schedules it
+    as a convolution at ~2.5 TFLOP/s, while the equivalent
+    [N, h*w*d*Cin] x [h*w*d*Cin, Cout] contraction runs on the MXU at
+    near-peak (scripts/bench_fcconv.py). Accumulates in f32, rounds once.
+    """
+    n = x.shape[0]
+    acc = preferred_element_type or jnp.float32
+    y = lax.dot_general(
+        x.reshape(n, -1), kernel.reshape(-1, kernel.shape[-1]),
+        (((1,), (0,)), ((), ())), preferred_element_type=acc)
+    y = y.astype(preferred_element_type or x.dtype)
+    return y.reshape(n, 1, 1, 1, kernel.shape[-1])
+
+
 def conv3d(x, kernel, strides=(1, 1, 1), padding="SAME",
            kernel_dilation=(1, 1, 1), preferred_element_type=None):
     """Dispatching 3D conv: kz-decomposed on TPU for large-spatial shapes.
@@ -122,9 +141,15 @@ def conv3d(x, kernel, strides=(1, 1, 1), padding="SAME",
     c256->512, 1.2x at 32^3 — but LOSES on the small-spatial ROI-head
     stacks where the 2D conv degenerates (0.6x at 14^3 x 200 ROIs, 0.7x on
     the 7^3 VALID classifier conv). H*W >= 1024 is the empirical
-    crossover.
+    crossover. Full-extent VALID convs (the classifier pool-cube conv) are
+    exactly one matmul — always dispatched to conv3d_fc.
     """
     kd = kernel.shape[2]
+    if (isinstance(padding, str) and padding.upper() == "VALID"
+            and tuple(kernel.shape[:3]) == tuple(x.shape[1:4])
+            and tuple(strides) == (1, 1, 1)
+            and tuple(kernel_dilation) == (1, 1, 1)):
+        return conv3d_fc(x, kernel, preferred_element_type)
     if (kd > 1 and x.shape[1] * x.shape[2] >= 1024
             and jax.default_backend() not in ("cpu",)):
         return conv3d_zdec(x, kernel, strides, padding, kernel_dilation,

@@ -121,3 +121,37 @@ def test_zdec_bf16_grad_dtypes():
         zc.apply(v, x).astype(jnp.float32) ** 2))(v)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)
+
+
+def test_conv3d_fc_matches_direct():
+    """Full-extent VALID conv == matmul dispatch (conv3d_fc)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from m3d.ops.conv3d import conv3d, conv3d_direct
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(5, 7, 7, 7, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(7, 7, 7, 16, 24) * 0.1, jnp.float32)
+    got = conv3d(x, k, padding="VALID")
+    ref = conv3d_direct(x, k, padding="VALID")
+    assert got.shape == (5, 1, 1, 1, 24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_conv3d_fc_gradients():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from m3d.ops.conv3d import conv3d, conv3d_direct
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 3, 3, 3, 4), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 6) * 0.1, jnp.float32)
+    g1 = jax.grad(lambda k: jnp.sum(conv3d(x, k, padding="VALID") ** 2))(k)
+    g2 = jax.grad(
+        lambda k: jnp.sum(conv3d_direct(x, k, padding="VALID") ** 2))(k)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)
