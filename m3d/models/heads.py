@@ -126,7 +126,13 @@ class MaskHead(nn.Module):
             nn.ConvTranspose(cc, (2, 2, 2), strides=(2, 2, 2),
                              dtype=self.dtype, name="mrcnn_mask_deconv")(x)
         )
-        x = nn.Conv(self.num_classes, (1, 1, 1), dtype=jnp.float32,
-                    name="mrcnn_mask")(x.astype(jnp.float32))
-        x = jax.nn.sigmoid(x)
+        # Final 1^3 conv stays in the compute dtype: casting the post-deconv
+        # activation to f32 materializes a [B*T, 28^3, C] f32 tensor (~4.5GB
+        # at the 128^3 bench shape) purely for a 256->num_classes
+        # contraction — ~10ms of pure HBM traffic. The MXU accumulates the
+        # 1^3 conv in f32 regardless; only the logits go f32 for sigmoid.
+        # Params remain f32 (param_dtype) — checkpoint layout unchanged.
+        x = ZConv(self.num_classes, (1, 1, 1), dtype=self.dtype,
+                  name="mrcnn_mask")(x)
+        x = jax.nn.sigmoid(x.astype(jnp.float32))
         return x.reshape(b, t, *x.shape[1:])

@@ -255,13 +255,13 @@ def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
             t2 = jnp.transpose(t2.reshape(p, p, d, ck), (2, 0, 1, 3)
                                ).reshape(d, p * p * ck)
             t3 = contract_front(wz, t2, jnp.float32)   # [p(z), x*y*Ck]
-            outs.append(jnp.transpose(t3.reshape(p, p, p, ck), (2, 1, 0, 3)))
-        out_lv = jnp.stack(outs)                   # [R, p, p, p, ck]
-        sel = jnp.stack([
-            (meta_ref[base + r, 0] == lv).astype(jnp.float32)
-            for r in range(r_b)
-        ])                                          # [R]
-        acc = acc + out_lv * sel[:, None, None, None, None]
+            # Level-select as a per-ROI SMEM-scalar multiply: Mosaic can't
+            # broadcast-reshape a [R] vector to [R,1,1,1,1] (rejected
+            # tpu.reshape at R>1), but scalar * array is native.
+            sel = (meta_ref[base + r, 0] == lv).astype(jnp.float32)
+            outs.append(
+                jnp.transpose(t3.reshape(p, p, p, ck), (2, 1, 0, 3)) * sel)
+        acc = acc + jnp.stack(outs)                # [R, p, p, p, ck]
     out_ref[...] = acc.astype(out_ref.dtype)
 
 

@@ -142,6 +142,73 @@ def _bcast(stride):
     return s[:, None, None, None] if s.ndim == 1 else s
 
 
+def _gather_interp_zpair(flat_values, base_flat_idx, dims, strides,
+                         positions):
+    """Trilinear gather with z-corner pairing: 4 row gathers instead of 8.
+
+    MEASURED SLOWER — kept as a documented negative result, NOT dispatched.
+    Hypothesis was that the TPU row gather is row-COUNT bound (~226M rows/s
+    at C=256), so pairing the two adjacent z corners into ONE [2C] row via
+    a parity-doubled buffer (flat row f -> paired row ``f//2 + (f%2)*E``)
+    would halve the rows and the time. v5e measurement at the classifier
+    workload (2000x7^3x256, scripts/bench_classify_probe.py): 64.0 ms vs
+    24.4 ms for the plain 8-corner row gather — 2.6x WORSE. The 512-lane
+    rows do not gather at the per-row rate of 256-lane rows, and the
+    doubled buffer adds an HBM copy. Same family as the slice-gather
+    failure documented in _gather_interp: this backend's gather is fastest
+    on plain C-row indexing, full stop.
+
+    Requires strides[2] == 1 (callers flatten z minor). Out-of-level reads
+    at z0 == size-1 get zero interpolation weight (frac == 0 there) and the
+    buffer carries a 2-row zero tail, so the overrun never contributes and
+    never reads out of bounds.
+    """
+    (py, px, pz) = (p.shape[1] for p in positions)
+    n = positions[0].shape[0]
+    c = flat_values.shape[-1]
+    t = flat_values.shape[0]
+
+    corners = [_corner(pos, jnp.asarray(size, jnp.float32)[..., None])
+               for pos, size in zip(positions, dims)]
+    (y0, y1c, wy, my), (x0, x1c, wx, mx), (z0, _, wz, mz) = corners
+    sy, sx, _ = (jnp.asarray(s, jnp.int32) for s in strides)
+
+    in_bounds = (
+        my[:, :, None, None] & mx[:, None, :, None] & mz[:, None, None, :]
+    )
+
+    # Parity-doubled pairing: rows [0, E) pair flat rows (2k, 2k+1); rows
+    # [E, 2E) pair (2k+1, 2k+2). Two-row zero tail absorbs the z0==size-1
+    # overrun of the last voxel.
+    tp = t + 2 - (t % 2)
+    flat_p = jnp.pad(flat_values, ((0, tp - t), (0, 0)))
+    e = tp // 2
+    even = flat_p.reshape(e, 2 * c)
+    odd = jnp.pad(flat_values[1:], ((0, tp - t + 1), (0, 0))).reshape(
+        e, 2 * c)
+    paired = jnp.concatenate([even, odd], axis=0)      # [2E, 2C]
+
+    wz0 = (1.0 - wz)[:, None, None, :]                  # [N,1,1,pz]
+    wz1 = wz[:, None, None, :]
+
+    out = jnp.zeros((n, py, px, pz, c), flat_values.dtype)
+    for cy, wyc in ((y0, 1.0 - wy), (y1c, wy)):
+        for cx, wxc in ((x0, 1.0 - wx), (x1c, wx)):
+            f = (
+                base_flat_idx[:, None, None, None]
+                + cy[:, :, None, None] * _bcast(sy)
+                + cx[:, None, :, None] * _bcast(sx)
+                + z0[:, None, None, :]
+            )                                           # [N,py,px,pz]
+            row = (f // 2) + (f % 2) * e
+            vals = paired[row.reshape(-1)].reshape(n, py, px, pz, 2, c)
+            wcol = wyc[:, :, None] * wxc[:, None, :]    # [N,py,px]
+            zmix = (vals[..., 0, :] * wz0[..., None].astype(vals.dtype)
+                    + vals[..., 1, :] * wz1[..., None].astype(vals.dtype))
+            out = out + zmix * wcol[..., None, None].astype(vals.dtype)
+    return jnp.where(in_bounds[..., None], out, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("crop_size", "method"))
 def crop_and_resize_3d(features, boxes, box_indices, crop_size,
                        method: str = "trilinear"):
@@ -556,8 +623,13 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
 
 
 # ROIs per grid step in the VMEM-resident pallas kernel (see
-# m3d/ops/pallas_roialign.py). Capped at 1 pending on-hardware validation of
-# the batched stage-1 contraction; scripts/bench_roialign_vmem.py measures.
+# m3d/ops/pallas_roialign.py). v5e measurement (scripts/bench_roialign_vmem
+# .py, 128^3 B=4 bench config): R=8 cuts the classifier-stage vmem time
+# 60.9 -> 45.4 ms (amortizing the per-step grid overhead) but still loses
+# to the 24.6 ms XLA row-gather the auto-dispatch already picks there; at
+# the mask stage (50 ROIs, 14^3) the VMEM budget forces R back down and
+# R=8 measures 15.7 ms vs 14.5 ms at R=1. No production workload wins, so
+# the cap stays 1; the kernel itself supports R>1 (validated on-chip).
 _VMEM_R_CAP = 1
 
 
