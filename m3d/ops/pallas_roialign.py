@@ -265,6 +265,317 @@ def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
+def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
+                    # ^ scalar-prefetch: [Npad] int32 each. A 2-D [Npad, 5]
+                    # meta row pads to 128 SMEM lanes (512 B/ROI) and blows
+                    # the 1 MB SMEM budget at Npad >= 2048; five 1-D arrays
+                    # stay at 4 B/ROI each.
+                    bounds_ref,      # scalar-prefetch: [2] int32 (off, cnt)
+                    wy_ref, wx_ref, wz_ref,  # [r_b, p, S*] f32 blocks
+                    f2_ref, f3_ref, f4_ref, f5_ref,  # [B,H,W,D,C] (HBM)
+                    wfc_ref,         # [c_chunks, p, p*p*ck, F] bf16 (HBM)
+                    out_ref,         # [G, F] f32 block (one ROI group)
+                    ring_ref,        # scratch [G, p, p*p*ck] bf16
+                    slab2_ref,       # scratch [2, r_b, Sy, Sx, SZ, ck]
+                    wfc_buf,         # scratch [p, p*p*ck, F_TILE] bf16
+                    sems,            # DMA semaphores [2, r_b]
+                    wsem,            # DMA semaphore for the W tile
+                    mode="full"):    # static: full | nofc | dmaonly
+    """Slab-DMA ROIAlign fused with the pool-cube FC conv.
+
+    The classifier stage's pooled tensor ([N, p^3, C], ~350 MB at the bench
+    workload) exists only to feed a full-extent VALID conv — one matmul.
+    Materializing it in HBM costs ~11 ms (measured: the XLA gather path is
+    24.4 ms when its output is consumed by a fused reduction but 35.3 ms
+    when it must be written). This kernel never materializes it: per-ROI
+    slabs are DMA'd to VMEM, contracted with the separable interpolation
+    weights on the MXU, parked in a G-ROI VMEM ring, and every full ring is
+    contracted with the FC kernel ([G, p^2*ck] x [p^2*ck, F] per z-plane —
+    MXU-shaped) straight into the [G, F] output block.
+
+    Grid: (groups, c_chunks, steps_per_group); r_b ROIs per step,
+    G = r_b * steps_per_group ROIs per output block. The output block is
+    revisited by all (c, s) steps of its group consecutively, so f32
+    accumulation over channel chunks happens in-place in VMEM.
+
+    wfc layout: [c, z, (x*p + y)*ck + c_in, f] — matches the separable
+    contraction's t3 ([p(z), p(x)*p(y)*ck]) so the ring write needs no
+    transpose (see pyramid_roi_align_fc for the host-side permutation).
+    """
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    s = pl.program_id(2)
+    n_c = pl.num_programs(1)
+    spg = pl.num_programs(2)
+
+    off = bounds_ref[0]
+    cnt = bounds_ref[1]
+
+    r_b = slab2_ref.shape[1]
+    sy = slab2_ref.shape[2]
+    sx = slab2_ref.shape[3]
+    sz = slab2_ref.shape[4]
+    ck = slab2_ref.shape[5]
+    p = ring_ref.shape[1]
+    f_tile = wfc_buf.shape[2]
+    f_total = out_ref.shape[1]
+
+    # Flat step index across the whole grid (for slab double-buffering).
+    gg = (g * n_c + c) * spg + s
+
+    def roi_active(roi):
+        return jnp.logical_and(roi >= off, roi < off + cnt)
+
+    def start_dmas(ggn, slot):
+        """Kick the r_b slab DMAs for flat step ggn into buffer `slot`."""
+        gn = ggn // (n_c * spg)
+        rem = ggn - gn * (n_c * spg)
+        cn = rem // spg
+        sn = rem - cn * spg
+        oc = pl.multiple_of(cn * ck, 128)
+        for r in range(r_b):
+            roi = (gn * spg + sn) * r_b + r
+
+            @pl.when(roi_active(roi))
+            def _(roi=roi, r=r):
+                level = lvl_ref[roi]
+                b = bat_ref[roi]
+                oy = oy_ref[roi]
+                ox = ox_ref[roi]
+                oz = pl.multiple_of(oz_ref[roi], 8)
+                for lv, feat_ref in enumerate(
+                        (f2_ref, f3_ref, f4_ref, f5_ref)):
+                    @pl.when(level == lv)
+                    def _(feat_ref=feat_ref):
+                        pltpu.make_async_copy(
+                            feat_ref.at[b, pl.ds(oy, sy), pl.ds(ox, sx),
+                                        pl.ds(oz, sz), pl.ds(oc, ck)],
+                            slab2_ref.at[slot, r],
+                            sems.at[slot, r],
+                        ).start()
+
+    n_steps_total = pl.num_programs(0) * n_c * spg
+    slot = jax.lax.rem(gg, 2)
+    next_slot = jax.lax.rem(gg + 1, 2)
+
+    @pl.when(gg == 0)
+    def _():
+        start_dmas(gg, slot)
+
+    @pl.when(gg + 1 < n_steps_total)
+    def _():
+        start_dmas(gg + 1, next_slot)
+
+    # First step of a group: zero the output accumulator block.
+    @pl.when(jnp.logical_and(c == 0, s == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    # First step of a (group, chunk) stripe: start the FC weight DMA for
+    # f-tile 0 (later tiles are fetched synchronously at FC time — the
+    # first is the only one whose latency isn't hidden by slab compute).
+    @pl.when(s == 0)
+    def _():
+        pltpu.make_async_copy(
+            wfc_ref.at[c, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                       pl.ds(0, f_tile)],
+            wfc_buf, wsem,
+        ).start()
+
+    def contract_front(w, t, out_dtype):
+        r = jax.lax.dot_general(
+            w.astype(t.dtype), t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return r.astype(out_dtype)
+
+    # Separable interpolation for this step's r_b ROIs -> ring. The wait
+    # must be guarded like the DMA start: inactive/padded ROIs never
+    # started a copy, and waiting on their semaphore deadlocks the core.
+    for r in range(r_b):
+        roi = (g * spg + s) * r_b + r
+
+        @pl.when(roi_active(roi))
+        def _(roi=roi, r=r):
+            pltpu.make_async_copy(
+                f2_ref.at[0, pl.ds(0, sy), pl.ds(0, sx), pl.ds(0, sz),
+                          pl.ds(0, ck)],
+                slab2_ref.at[slot, r],
+                sems.at[slot, r],
+            ).wait()
+            if mode == "dmaonly":
+                # Consume the slab cheaply so the DMA isn't dead-code.
+                probe = jnp.sum(slab2_ref[slot, r, 0, 0].astype(
+                    jnp.float32)) * 0.0
+                ring_ref[s * r_b + r] = (
+                    jnp.zeros(ring_ref.shape[1:], jnp.float32) + probe
+                ).astype(ring_ref.dtype)
+                return
+            slab = slab2_ref[slot, r]                  # [Sy, Sx, SZ, ck]
+            cd = slab.dtype
+            # Explicit transpose + leading-dim matmul per stage. Measured
+            # alternatives at the classifier workload (2000x7^3x256):
+            # contracting middle dims via dot_general compiles but Mosaic's
+            # implicit relayouts are SLOWER (52.2 vs 48.2 ms end-to-end).
+            # The per-ROI separable chain costs ~6 us/ROI-chunk and
+            # dominates this kernel (DMA+grid floor is 11.8 ms).
+            t1 = contract_front(wy_ref[r],
+                                slab.reshape(sy, sx * sz * ck), cd)
+            t1 = jnp.transpose(t1.reshape(p, sx, sz * ck),
+                               (1, 0, 2)).reshape(sx, p * sz * ck)
+            t2 = contract_front(wx_ref[r], t1, cd)     # [p(x), p(y)*SZ*ck]
+            t2 = jnp.transpose(t2.reshape(p, p, sz, ck),
+                               (2, 0, 1, 3)).reshape(sz, p * p * ck)
+            t3 = contract_front(wz_ref[r], t2, cd)     # [p(z), x*y*ck]
+            ring_ref[s * r_b + r] = t3
+
+        @pl.when(jnp.logical_not(roi_active(roi)))
+        def _(r=r):
+            # Stale ring garbage must not reach the FC contraction.
+            ring_ref[s * r_b + r] = jnp.zeros(
+                ring_ref.shape[1:], ring_ref.dtype)
+
+    # Ring full: contract with the FC kernel into the output block.
+    if mode != "full":
+        @pl.when(s == spg - 1)
+        def _():
+            pltpu.make_async_copy(
+                wfc_ref.at[0, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                           pl.ds(0, f_tile)],
+                wfc_buf, wsem,
+            ).wait()
+            out_ref[:, :f_tile] += jnp.sum(
+                ring_ref[:, :, :f_tile].astype(jnp.float32), axis=1)
+        return
+
+    @pl.when(s == spg - 1)
+    def _():
+        pltpu.make_async_copy(
+            wfc_ref.at[0, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                       pl.ds(0, f_tile)],
+            wfc_buf, wsem,
+        ).wait()
+        n_ft = f_total // f_tile
+        for ft in range(n_ft):
+            acc = jnp.zeros((ring_ref.shape[0], f_tile), jnp.float32)
+            for z in range(p):
+                acc = acc + jax.lax.dot_general(
+                    ring_ref[:, z, :], wfc_buf[z],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[:, ft * f_tile:(ft + 1) * f_tile] += acc
+            if ft + 1 < n_ft:
+                cp = pltpu.make_async_copy(
+                    wfc_ref.at[c, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                               pl.ds((ft + 1) * f_tile, f_tile)],
+                    wfc_buf, wsem,
+                )
+                cp.start()
+                cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pool_size", "slab", "group", "r_batch", "f_tile",
+                     "interpret", "mode"),
+)
+def pallas_pyramid_roi_align_fc(levels, batch_idx, origins, wy, wx, wz,
+                                feature_maps, wfc, pool_size: int,
+                                slab=(16, 16, 24), group: int = 128,
+                                r_batch: int = 4, f_tile: int = 256,
+                                bounds=None, interpret: bool = False,
+                                mode: str = "full"):
+    """Fused slab-DMA ROIAlign + pool-cube FC contraction.
+
+    Inputs as pallas_pyramid_roi_align, plus wfc: [p, p, p, C, F] — the
+    FC conv kernel (ZConv layout [ky, kx, kz, Cin, F]). Returns [N, F]
+    float32 == crop_and_resize(pool p) followed by the full-extent VALID
+    conv, without materializing the pooled tensor. Inference-only.
+    """
+    n = levels.shape[0]
+    p = int(pool_size)
+    c = feature_maps[0].shape[-1]
+    s_y, s_x, s_z = (int(v) for v in slab)
+    r_b = int(r_batch)
+    grp = int(group)
+    assert grp % r_b == 0
+    ck = min(c, 128)
+    assert c % ck == 0
+    c_chunks = c // ck
+    f = wfc.shape[-1]
+    ftl = min(int(f_tile), f)
+    assert f % ftl == 0
+
+    # Host-side W permutation to the kernel's t3 layout:
+    # [ky,kx,kz,C,F] -> [c_chunk, kz, (kx*p + ky)*ck + c_in, F].
+    wfc_p = jnp.transpose(wfc, (2, 1, 0, 3, 4))          # [kz,kx,ky,C,F]
+    wfc_p = wfc_p.reshape(p, p * p, c_chunks, ck, f)
+    wfc_p = jnp.transpose(wfc_p, (2, 0, 1, 3, 4)).reshape(
+        c_chunks, p, p * p * ck, f).astype(feature_maps[0].dtype)
+
+    meta = jnp.concatenate(
+        [levels[:, None], batch_idx[:, None], origins], axis=1
+    ).astype(jnp.int32)
+    if bounds is None:
+        bounds = jnp.asarray([0, n], jnp.int32)
+    bounds = jnp.asarray(bounds, jnp.int32)
+
+    n_pad = (-n) % grp
+    if n_pad:
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((n_pad, meta.shape[1]), meta.dtype)], 0)
+        wy = jnp.concatenate(
+            [wy, jnp.zeros((n_pad,) + wy.shape[1:], wy.dtype)], 0)
+        wx = jnp.concatenate(
+            [wx, jnp.zeros((n_pad,) + wx.shape[1:], wx.dtype)], 0)
+        wz = jnp.concatenate(
+            [wz, jnp.zeros((n_pad,) + wz.shape[1:], wz.dtype)], 0)
+    n_tot = n + n_pad
+    n_groups = n_tot // grp
+    spg = grp // r_b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n_groups, c_chunks, spg),
+        in_specs=[
+            pl.BlockSpec((r_b, p, s_y),
+                         lambda g, c, s, *pf: (g * spg + s, 0, 0)),
+            pl.BlockSpec((r_b, p, s_x),
+                         lambda g, c, s, *pf: (g * spg + s, 0, 0)),
+            pl.BlockSpec((r_b, p, s_z),
+                         lambda g, c, s, *pf: (g * spg + s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # wfc
+        ],
+        out_specs=pl.BlockSpec(
+            (grp, f), lambda g, c, s, *pf: (g, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((grp, p, p * p * ck), feature_maps[0].dtype),
+            pltpu.VMEM((2, r_b, s_y, s_x, s_z, ck), feature_maps[0].dtype),
+            pltpu.VMEM((p, p * p * ck, ftl), feature_maps[0].dtype),
+            pltpu.SemaphoreType.DMA((2, r_b)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_slab_fc, mode=mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tot, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], meta[:, 4],
+      bounds, wy, wx, wz, *feature_maps, wfc_p)
+    return out[:n] if n_pad else out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pool_size", "n_per_image", "r_batch", "interpret"),

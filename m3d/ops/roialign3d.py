@@ -622,6 +622,161 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
     return jnp.where(jnp.isfinite(out), out, jnp.zeros((), out.dtype))
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "pool_size", "interpret", "r_batch", "group", "mode", "fc_slab_cap"))
+def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
+                         fc_kernel, interpret: bool = False,
+                         r_batch: int = 4, group: int = 128,
+                         mode: str = "full", fc_slab_cap=(16, 16, 24)):
+    """Pyramid ROIAlign fused with the pool-cube FC conv: [B, N, F] f32.
+
+    Semantically identical to
+    ``conv3d_fc(pyramid_roi_align(...), fc_kernel)`` (the classifier head's
+    first layer, reference core/models.py:5697-5709) but the pooled
+    [B, N, p^3, C] tensor never touches HBM. ROIs whose sample span fits a
+    (16, 16, 24) level slab (100% of the classifier workload at 128^3: all
+    ROIs route to P2 with spans <= 13 cells) run in the fused pallas
+    kernel; the rest fall back to the tiered slab kernel + XLA contraction
+    and are combined by mask. Inference-only (no gradients); bias not
+    applied.
+
+    STATUS — correct but NOT dispatched. v5e measurements at the 128^3 B=4
+    classifier workload (scripts/bench_roialign_fc.py): unfused
+    gather+conv3d_fc in one jit = 36.6 ms (of which ~11 ms is
+    materializing the pooled tensor); this fused path = 48.2 ms at
+    r_batch=4 / 40.9 ms at r_batch=8 + (12,12,24) slab cap. The isolation
+    sweep (mode=dmaonly/nofc) shows the slab DMA + grid floor is 11.8 ms
+    — the loss is the per-ROI separable chain (~25 ms: VMEM transposes
+    between the three stage matmuls; contracting middle dims via
+    dot_general instead is slower still, 52.2 ms) and the ring FC
+    (~11 ms). Cutting the separable cost (block-diagonal R-batched
+    stage-1, z-leading ring) is the remaining path to < 30 ms.
+    """
+    from m3d.ops.pallas_roialign import (pallas_pyramid_roi_align,
+                                         pallas_pyramid_roi_align_fc)
+
+    p = int(pool_size) if isinstance(pool_size, int) else int(pool_size[0])
+    f_out = fc_kernel.shape[-1]
+
+    meta = parse_image_meta(image_meta)
+    image_shape = meta["image_shape"]
+    boxes = jax.lax.stop_gradient(jnp.asarray(boxes, jnp.float32))
+    bsz, n = boxes.shape[:2]
+    num_levels = len(feature_maps)
+
+    d_img = jnp.maximum(image_shape[:, 2:3], 1.0)
+    y1 = jnp.clip(boxes[..., 0], 0.0, 1.0)
+    x1 = jnp.clip(boxes[..., 1], 0.0, 1.0)
+    z1 = jnp.clip(boxes[..., 2], 0.0, 1.0)
+    y2 = jnp.maximum(jnp.clip(boxes[..., 3], 0.0, 1.0), y1 + 1e-6)
+    x2 = jnp.maximum(jnp.clip(boxes[..., 4], 0.0, 1.0), x1 + 1e-6)
+    z2 = jnp.maximum(jnp.clip(boxes[..., 5], 0.0, 1.0), z1 + 1.0 / d_img)
+    boxes = jnp.stack([y1, x1, z1, y2, x2, z2], axis=-1)
+
+    levels = compute_roi_levels(
+        boxes,
+        (image_shape[:, 0:1], image_shape[:, 1:2], image_shape[:, 2:3]),
+        num_levels,
+    )
+
+    # Slab geometry (mirrors pyramid_roi_align_pallas).
+    s_y, s_x, slab_z = slab_sizes(feature_maps)
+    z_align = 8
+    max_d = max(fm.shape[3] for fm in feature_maps)
+    if slab_z < max_d:
+        slab_z += z_align
+    slab_z = slab_z + (-slab_z) % z_align
+    fc_slab = (min(fc_slab_cap[0], s_y), min(fc_slab_cap[1], s_x),
+               min(fc_slab_cap[2], slab_z))
+
+    dims = jnp.asarray([fm.shape[1:4] for fm in feature_maps], jnp.int32)
+    padded = []
+    for fm in feature_maps:
+        _, hl, wl, dl, _ = fm.shape
+        dz_pad = max(0, slab_z - dl) + (-max(dl, slab_z)) % z_align
+        pads = [(0, 0), (0, max(0, s_y - hl)), (0, max(0, s_x - wl)),
+                (0, dz_pad), (0, 0)]
+        padded.append(jnp.pad(fm, pads) if any(pe for _, pe in pads) else fm)
+    padded_dims = jnp.asarray([fm.shape[1:4] for fm in padded], jnp.int32)
+
+    boxes_f = boxes.reshape(bsz * n, 6)
+    levels_f = levels.reshape(bsz * n)
+    batch_f = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+
+    def axis_pos(bf, lf):
+        rd = dims[lf]
+        hy = rd[:, 0].astype(jnp.float32)
+        wx_d = rd[:, 1].astype(jnp.float32)
+        dz = rd[:, 2].astype(jnp.float32)
+        return (
+            _axis_positions(bf[:, 0], bf[:, 3], hy, p),
+            _axis_positions(bf[:, 1], bf[:, 4], wx_d, p),
+            _axis_positions(bf[:, 2], bf[:, 5], dz, p),
+        ), (hy, wx_d, dz)
+
+    (pos_y, pos_x, pos_z), (hy, wx_d, dz) = axis_pos(boxes_f, levels_f)
+
+    def cells_needed(pos, dim):
+        pc = jnp.clip(pos, 0.0, dim[:, None] - 1.0)
+        return (jnp.floor(jnp.max(pc, 1)) - jnp.floor(jnp.min(pc, 1))
+                ).astype(jnp.int32) + 2
+
+    fits = ((cells_needed(pos_y, hy) <= fc_slab[0])
+            & (cells_needed(pos_x, wx_d) <= fc_slab[1])
+            & (cells_needed(pos_z, dz) + (z_align - 1) <= fc_slab[2]))
+
+    # fits-first stable sort; [0, n_fit) runs fused, the rest falls back.
+    order = jnp.argsort(jnp.logical_not(fits), stable=True)
+    inv_order = jnp.argsort(order, stable=True)
+    n_fit = jnp.sum(fits).astype(jnp.int32)
+    boxes_s = boxes_f[order]
+    levels_s = levels_f[order]
+    batch_s = batch_f[order]
+
+    (pos_ys, pos_xs, pos_zs), (hys, wxs, dzs) = axis_pos(boxes_s, levels_s)
+    roi_pdims = padded_dims[levels_s]
+
+    def tier_weights(ty, tx, tz):
+        oy, wy = _axis_slab_weights(pos_ys, hys, ty,
+                                    origin_dim=roi_pdims[:, 0])
+        ox, wx = _axis_slab_weights(pos_xs, wxs, tx,
+                                    origin_dim=roi_pdims[:, 1])
+        oz, wz = _axis_slab_weights(pos_zs, dzs, tz, align=z_align,
+                                    origin_dim=roi_pdims[:, 2])
+        return jnp.stack([oy, ox, oz], axis=1), wy, wx, wz
+
+    origins, wy, wx, wz = tier_weights(*fc_slab)
+    out_fc = pallas_pyramid_roi_align_fc(
+        levels_s, batch_s, origins, wy, wx, wz, padded,
+        fc_kernel.astype(padded[0].dtype), p, slab=fc_slab,
+        bounds=jnp.stack([jnp.int32(0), n_fit]), interpret=interpret,
+        r_batch=r_batch, group=group, mode=mode,
+    )                                                   # [bsz*n, F] f32
+
+    # Fallback: exact-coverage slab kernel + XLA contraction for the rest.
+    from m3d.ops.conv3d import conv3d_fc
+
+    itemsize = jnp.dtype(padded[0].dtype).itemsize
+    slab_bytes = s_y * s_x * slab_z * min(
+        feature_maps[0].shape[-1], 128) * itemsize
+    r_b = max(1, min(8, (12 * 1024 * 1024) // (2 * slab_bytes)))
+    origins2, wy2, wx2, wz2 = tier_weights(s_y, s_x, slab_z)
+    pooled = pallas_pyramid_roi_align(
+        levels_s, batch_s, origins2, wy2, wx2, wz2, padded, p,
+        slab=(s_y, s_x, slab_z), interpret=interpret,
+        bounds=jnp.stack([n_fit, jnp.int32(bsz * n) - n_fit]), r_batch=r_b,
+    )                                                   # [bsz*n, p,p,p, C]
+    out_fb = conv3d_fc(
+        pooled, fc_kernel.astype(pooled.dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(bsz * n, f_out)
+
+    idx = jnp.arange(bsz * n, dtype=jnp.int32)
+    out = jnp.where((idx < n_fit)[:, None], out_fc, out_fb)
+    out = out[inv_order].reshape(bsz, n, f_out)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
 # ROIs per grid step in the VMEM-resident pallas kernel (see
 # m3d/ops/pallas_roialign.py). v5e measurement (scripts/bench_roialign_vmem
 # .py, 128^3 B=4 bench config): R=8 cuts the classifier-stage vmem time

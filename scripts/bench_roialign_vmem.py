@@ -94,6 +94,22 @@ def main():
         print(f"  pallas-vmem max|diff| vs gather: {err:.4f}")
         chain_time(f"{tag}: pallas-vmem(auto R)", run_pallas, feats[0])
 
+        # Slab-DMA path (explicit slab= skips the VMEM-resident shortcut):
+        # span tiers route most ROIs to 8x8x16 slabs with r_batch=8 -> 16
+        # outstanding ~262KB DMAs, ~1GB total for the classifier workload.
+        from m3d.ops.roialign3d import slab_sizes
+
+        sl = slab_sizes(feats)
+
+        def run_slab(f0):
+            return pyramid_roi_align_pallas(
+                boxes, meta, [f0] + feats[1:], pool, slab=sl)
+
+        got = np.asarray(run_slab(feats[0]), np.float32)
+        err = np.max(np.abs(got - ref))
+        print(f"  pallas-slab max|diff| vs gather: {err:.4f}")
+        chain_time(f"{tag}: pallas-slab(tiered)", run_slab, feats[0])
+
 
 if __name__ == "__main__":
     main()

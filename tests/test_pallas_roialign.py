@@ -74,3 +74,33 @@ def test_deep_z_spans_are_exact(rng):
         pyramid_roi_align_pallas(boxes, meta, feats, 7, interpret=True))
     np.testing.assert_allclose(xla[0, 0], direct[0], atol=1e-4)
     np.testing.assert_allclose(pls[0, 0], direct[0], atol=1e-4)
+
+
+def test_fused_fc_matches_unfused(rng):
+    """pyramid_roi_align_fc (interpret) == gather path + conv3d_fc, with
+    mixed fc-tier/fallback ROIs, boundary boxes, and odd N."""
+    from m3d.ops.conv3d import conv3d_fc
+    from m3d.ops.roialign3d import pyramid_roi_align_fc
+
+    c, f = 256, 512
+    cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=16, NUM_CLASSES=2)
+    meta = np.tile(default_meta(cfg)[None], (2, 1))
+    feats = [rng.randn(2, 16, 16, 16, c).astype(np.float32),
+             rng.randn(2, 8, 8, 16, c).astype(np.float32),
+             rng.randn(2, 4, 4, 8, c).astype(np.float32),
+             rng.randn(2, 2, 2, 4, c).astype(np.float32)]
+    lo = rng.uniform(-0.1, 0.6, (2, 13, 3)).astype(np.float32)
+    ext = rng.uniform(0.0, 0.9, (2, 13, 3)).astype(np.float32)
+    boxes = np.clip(np.concatenate([lo, lo + ext], -1), 0, 1)
+    boxes[0, 3] = [0.3, 0.3, 0.3, 0.3, 0.3, 0.3]    # degenerate
+    boxes[0, 5] = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]    # full image
+    kern = (rng.randn(7, 7, 7, c, f) * 0.01).astype(np.float32)
+
+    pooled = pyramid_roi_align(boxes, meta, feats, 7)
+    ref = np.asarray(conv3d_fc(
+        np.asarray(pooled).reshape(-1, 7, 7, 7, c), kern,
+        preferred_element_type=np.float32)).reshape(2, 13, f)
+    got = np.asarray(pyramid_roi_align_fc(
+        boxes, meta, feats, 7, kern, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
