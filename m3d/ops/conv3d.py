@@ -113,6 +113,95 @@ def conv3d_zdec(x, kernel, strides=(1, 1, 1), padding="SAME",
     return y.reshape(b, d_out, ho, wo, cout).transpose(0, 2, 3, 1, 4)
 
 
+def conv3d_s2d(x, kernel, strides, padding, preferred_element_type=None):
+    """Stride-2 conv as a stride-1 conv on space-to-depth input.
+
+    MEASURED SLOWER — kept as a documented negative result, NOT
+    dispatched. The ResNet stem (7^3, stride 2, Cin=1, reference
+    core/models.py:241) runs at 8% of MXU peak (2.95 ms via the zdec
+    path at the 128^3 B=4 bench), and space-to-depth is the classic fix:
+    fold each stride-2 axis into 2 channels so the conv becomes 4-tap
+    stride-1 over 8*Cin channels. On v5e the fold itself is the wall at
+    Cin=1: the (2,2,2)-interleave relayout of a scalar-channel volume
+    costs more than the conv it accelerates — 8.97 ms via reshape/
+    transpose fold, 25.8 ms via strided-slice fold, vs 2.95 ms zdec
+    status quo. The arithmetic is exact (CPU-verified vs conv3d_direct
+    across stride/padding configs); revisit only if the stem input ever
+    arrives pre-folded from the host. Exact tap mapping per stride-2
+    axis:
+
+        out[o] = sum_t xp[2o + t] k[t]          (t in [0, 7), xp padded)
+               = sum_{d in [0,4), p in {0,1}} xp2[o + d, p] k[2d + p]
+
+    with xp2[m, p] = xp[2m + p] and k[7] := 0. Stride-1 axes keep their
+    original extent. Requires explicit per-axis padding (the caller's
+    [(3,3)] stem padding) and no dilation.
+    """
+    b, h, w, d, cin = x.shape
+    kh, kw, kd, _, cout = kernel.shape
+    s = tuple(int(v) for v in strides)
+    pads = [tuple(p) for p in padding]
+    assert all(v in (1, 2) for v in s)
+
+    # Pad explicitly; extend each stride-2 axis on the right so (a) its
+    # length is even for the fold and (b) the folded VALID conv covers
+    # every original output position.
+    sizes = (h, w, d)
+    ks = (kh, kw, kd)
+    xpads = [(0, 0)]
+    out_sizes = []
+    k_new = []
+    for ax in range(3):
+        lo, hi = pads[ax]
+        n_out = (sizes[ax] + lo + hi - ks[ax]) // s[ax] + 1
+        out_sizes.append(n_out)
+        if s[ax] == 2:
+            kf = (ks[ax] + 2) // 2          # folded extent (7 -> 4)
+            # Folded input must reach index (n_out - 1) + kf per pair.
+            need = 2 * ((n_out - 1) + kf)
+            xpads.append((lo, max(hi, need - sizes[ax] - lo)))
+            k_new.append(kf)
+        else:
+            xpads.append((lo, hi))
+            k_new.append(ks[ax])
+    xpads.append((0, 0))
+    xp = jnp.pad(x, xpads)
+
+    # Space-to-depth fold of the stride-2 axes (channel-minor order
+    # (py, px, pz, cin) to match the kernel remap below).
+    shp = [b]
+    perm_src = []
+    for ax, size in enumerate(xp.shape[1:4]):
+        if s[ax] == 2:
+            shp.extend([size // 2, 2])
+        else:
+            shp.extend([size, 1])
+    shp.append(cin)
+    xp = xp.reshape(shp)                     # [b, H2,py, W2,px, D2,pz, c]
+    xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    xp = xp.reshape(xp.shape[:4] + (-1,))    # [b, H2, W2, D2, py*px*pz*c]
+
+    # Kernel remap: k4[dy,dx,dz, (py,px,pz,c), o] = k7[2dy+py, ...] with
+    # out-of-range taps zero.
+    kpad = jnp.pad(kernel, [(0, 2 * k_new[0] - kh if s[0] == 2 else 0),
+                            (0, 2 * k_new[1] - kw if s[1] == 2 else 0),
+                            (0, 2 * k_new[2] - kd if s[2] == 2 else 0),
+                            (0, 0), (0, 0)])
+    shp_k = []
+    for ax in range(3):
+        if s[ax] == 2:
+            shp_k.extend([k_new[ax], 2])
+        else:
+            shp_k.extend([k_new[ax], 1])
+    kf = kpad.reshape(shp_k + [cin, cout])   # [ky,py, kx,px, kz,pz, c, o]
+    kf = kf.transpose(0, 2, 4, 1, 3, 5, 6, 7)
+    kf = kf.reshape(k_new[0], k_new[1], k_new[2], -1, cout)
+
+    y = conv3d_direct(xp, kf, (1, 1, 1), "VALID",
+                      preferred_element_type=preferred_element_type)
+    return y[:, :out_sizes[0], :out_sizes[1], :out_sizes[2], :]
+
+
 def conv3d_fc(x, kernel, preferred_element_type=None):
     """VALID conv whose kernel extent equals the input extent == one matmul.
 

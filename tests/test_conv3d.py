@@ -155,3 +155,24 @@ def test_conv3d_fc_gradients():
         lambda k: jnp.sum(conv3d_direct(x, k, padding="VALID") ** 2))(k)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_s2d_matches_direct(rng):
+    """conv3d_s2d (space-to-depth fold, kept as a documented negative
+    result) is arithmetically exact vs conv3d_direct across stride and
+    padding configs."""
+    from m3d.ops.conv3d import _norm_padding, conv3d_direct, conv3d_s2d
+
+    for (h, w, d), strides, k, cin, pad in [
+        ((32, 32, 16), (2, 2, 1), 7, 1, [(3, 3)] * 3),
+        ((20, 20, 12), (2, 2, 2), 7, 2, "SAME"),
+        ((16, 16, 16), (2, 1, 2), 5, 1, "SAME"),
+        ((18, 18, 10), (2, 2, 2), 7, 1, "VALID"),
+    ]:
+        x = rng.randn(2, h, w, d, cin).astype(np.float32)
+        kern = (rng.randn(k, k, k, cin, 8) * 0.1).astype(np.float32)
+        ref = np.asarray(conv3d_direct(x, kern, strides, pad))
+        pads = _norm_padding(pad, (k, k, k), strides, (h, w, d), (1, 1, 1))
+        got = np.asarray(conv3d_s2d(x, kern, strides, pads))
+        assert got.shape == ref.shape, (strides, pad)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
