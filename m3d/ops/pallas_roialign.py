@@ -39,7 +39,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(meta_ref,            # scalar-prefetch: [Npad, 5] int32
+def _kernel(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
+            # ^ scalar-prefetch: [Npad] int32 each. 1-D on purpose: a 2-D
+            # [Npad, 5] meta row pads to 128 SMEM lanes (512 B/ROI) and
+            # blows the 1 MB SMEM budget at Npad >= ~2000.
             bounds_ref,          # scalar-prefetch: [2] int32 (offset, count)
             wy_ref, wx_ref, wz_ref,   # [R, p, S]/[R, p, SZ] f32 blocks
             f2_ref, f3_ref, f4_ref, f5_ref,  # [B, H, W, D, C] (HBM)
@@ -88,12 +91,12 @@ def _kernel(meta_ref,            # scalar-prefetch: [Npad, 5] int32
 
             @pl.when(roi_active(roi))
             def _(roi=roi, r=r):
-                level = meta_ref[roi, 0]
-                b = meta_ref[roi, 1]
-                oy = meta_ref[roi, 2]
-                ox = meta_ref[roi, 3]
+                level = lvl_ref[roi]
+                b = bat_ref[roi]
+                oy = oy_ref[roi]
+                ox = ox_ref[roi]
                 # Caller 8-aligns z origins (sublane tiling); tell Mosaic.
-                oz = pl.multiple_of(meta_ref[roi, 4], 8)
+                oz = pl.multiple_of(oz_ref[roi], 8)
                 for lv, feat_ref in enumerate(
                         (f2_ref, f3_ref, f4_ref, f5_ref)):
                     @pl.when(level == lv)
@@ -171,7 +174,9 @@ def _kernel(meta_ref,            # scalar-prefetch: [Npad, 5] int32
                 out_ref[r] = out.astype(out_ref.dtype)
 
 
-def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
+def _kernel_vmem(lvl_ref,            # scalar-prefetch: [N] int32 levels
+                 # (1-D: a 2-D [N, 1] row pads to 128 SMEM lanes and blows
+                 # the 1 MB SMEM budget at N >= ~2000)
                  wy_ref, wx_ref, wz_ref,   # [R, p, Smax] f32 blocks
                  f2_ref, f3_ref, f4_ref, f5_ref,  # [B, H, W, D, C] (HBM)
                  out_ref,            # [R, p, p, p, Ck] (VMEM)
@@ -258,7 +263,7 @@ def _kernel_vmem(meta_ref,           # scalar-prefetch: [N, 5] int32
             # Level-select as a per-ROI SMEM-scalar multiply: Mosaic can't
             # broadcast-reshape a [R] vector to [R,1,1,1,1] (rejected
             # tpu.reshape at R>1), but scalar * array is native.
-            sel = (meta_ref[base + r, 0] == lv).astype(jnp.float32)
+            sel = (lvl_ref[base + r] == lv).astype(jnp.float32)
             outs.append(
                 jnp.transpose(t3.reshape(p, p, p, ck), (2, 1, 0, 3)) * sel)
         acc = acc + jnp.stack(outs)                # [R, p, p, p, ck]
@@ -605,7 +610,7 @@ def pallas_pyramid_roi_align_vmem(levels, wy, wx, wz, feature_maps,
     assert c % ck == 0
     c_chunks = c // ck
 
-    meta = levels[:, None].astype(jnp.int32)
+    meta = levels.astype(jnp.int32)
 
     n_steps = int(n_per_image) // r_b
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -699,12 +704,12 @@ def pallas_pyramid_roi_align(levels, batch_idx, origins, wy, wx, wz,
     n_steps = n_tot // r_b
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=6,
         grid=(n_steps, c_chunks),
         in_specs=[
-            pl.BlockSpec((r_b, p, s_y), lambda i, j, meta, bnd: (i, 0, 0)),
-            pl.BlockSpec((r_b, p, s_x), lambda i, j, meta, bnd: (i, 0, 0)),
-            pl.BlockSpec((r_b, p, s_z), lambda i, j, meta, bnd: (i, 0, 0)),
+            pl.BlockSpec((r_b, p, s_y), lambda i, j, *pf: (i, 0, 0)),
+            pl.BlockSpec((r_b, p, s_x), lambda i, j, *pf: (i, 0, 0)),
+            pl.BlockSpec((r_b, p, s_z), lambda i, j, *pf: (i, 0, 0)),
             # Feature levels stay in HBM; the kernel DMAs slabs on demand.
             # (ANY lets the compiler pull small levels into VMEM, blowing
             # the 16MB budget.)
@@ -714,7 +719,7 @@ def pallas_pyramid_roi_align(levels, batch_idx, origins, wy, wx, wz,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (r_b, p, p, p, ck), lambda i, j, meta, bnd: (i, 0, 0, 0, j)
+            (r_b, p, p, p, ck), lambda i, j, *pf: (i, 0, 0, 0, j)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, r_b, s_y, s_x, s_z, ck), feature_maps[0].dtype),
@@ -730,5 +735,6 @@ def pallas_pyramid_roi_align(levels, batch_idx, origins, wy, wx, wz,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(meta, bounds, wy, wx, wz, *feature_maps)
+    )(meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], meta[:, 4],
+      bounds, wy, wx, wz, *feature_maps)
     return out[:n] if n_pad else out

@@ -9,6 +9,8 @@ merge across model variants, class-dim slicing, kernel-shape introspection
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real-trunk builds + H5 roundtrips (~3 min)
+
 h5py = pytest.importorskip("h5py")
 
 import jax  # noqa: E402

@@ -76,6 +76,7 @@ def test_deep_z_spans_are_exact(rng):
     np.testing.assert_allclose(pls[0, 0], direct[0], atol=1e-4)
 
 
+@pytest.mark.slow  # 2048-ROI interpret-mode kernel run (~40 s)
 def test_fused_fc_matches_unfused(rng):
     """pyramid_roi_align_fc (interpret) == gather path + conv3d_fc, with
     mixed fc-tier/fallback ROIs, boundary boxes, and odd N."""

@@ -42,6 +42,7 @@ def test_stage_strides_decomposition():
 
 
 @pytest.mark.parametrize("family", sorted(FAMILIES))
+@pytest.mark.slow  # builds and runs a real trunk per stride family
 def test_network_grid_matches_config_and_anchors(family):
     size, depth, strides = FAMILIES[family]
     cfg = Config(
