@@ -280,7 +280,12 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
                     f2_ref, f3_ref, f4_ref, f5_ref,  # [B,H,W,D,C] (HBM)
                     wfc_ref,         # [c_chunks, p, p*p*ck, F] bf16 (HBM)
                     out_ref,         # [G, F] f32 block (one ROI group)
-                    ring_ref,        # scratch [G, p, p*p*ck] bf16
+                    ring_ref,        # scratch [p, G, p*p*ck] bf16
+                    tile_ref,        # scratch [p, r_b, p*p*ck] bf16
+                    # ^ z-leading: the FC contraction reads ring_ref[z] as
+                    # a contiguous [G, p*p*ck] matrix (a [G, p, ...] ring
+                    # needs a strided middle-dim slice per z — measured
+                    # ~11 ms of FC overhead at the classifier workload)
                     slab2_ref,       # scratch [2, r_b, Sy, Sx, SZ, ck]
                     wfc_buf,         # scratch [p, p*p*ck, F_TILE] bf16
                     sems,            # DMA semaphores [2, r_b]
@@ -321,7 +326,7 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
     sx = slab2_ref.shape[3]
     sz = slab2_ref.shape[4]
     ck = slab2_ref.shape[5]
-    p = ring_ref.shape[1]
+    p = ring_ref.shape[0]
     f_tile = wfc_buf.shape[2]
     f_total = out_ref.shape[1]
 
@@ -395,7 +400,12 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
         )
         return r.astype(out_dtype)
 
-    # Separable interpolation for this step's r_b ROIs -> ring. The wait
+    # Separable interpolation for this step's r_b ROIs -> a static-indexed
+    # step tile, then ONE aligned 8-wide ring store. Mosaic requires
+    # dynamic sublane store bases to be provably 8-aligned, so per-ROI
+    # dynamic ring writes (base s*r_b + r) don't compile; the tile is
+    # indexed by the python-constant r and the ring store base s*r_b is
+    # hinted as a multiple of r_b (callers keep r_b == 8). The DMA wait
     # must be guarded like the DMA start: inactive/padded ROIs never
     # started a copy, and waiting on their semaphore deadlocks the core.
     for r in range(r_b):
@@ -413,9 +423,9 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
                 # Consume the slab cheaply so the DMA isn't dead-code.
                 probe = jnp.sum(slab2_ref[slot, r, 0, 0].astype(
                     jnp.float32)) * 0.0
-                ring_ref[s * r_b + r] = (
-                    jnp.zeros(ring_ref.shape[1:], jnp.float32) + probe
-                ).astype(ring_ref.dtype)
+                tile_ref[:, r, :] = (
+                    jnp.zeros((p, ring_ref.shape[2]), jnp.float32)
+                    + probe).astype(tile_ref.dtype)
                 return
             slab = slab2_ref[slot, r]                  # [Sy, Sx, SZ, ck]
             cd = slab.dtype
@@ -433,13 +443,16 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
             t2 = jnp.transpose(t2.reshape(p, p, sz, ck),
                                (2, 0, 1, 3)).reshape(sz, p * p * ck)
             t3 = contract_front(wz_ref[r], t2, cd)     # [p(z), x*y*ck]
-            ring_ref[s * r_b + r] = t3
+            tile_ref[:, r, :] = t3
 
         @pl.when(jnp.logical_not(roi_active(roi)))
         def _(r=r):
-            # Stale ring garbage must not reach the FC contraction.
-            ring_ref[s * r_b + r] = jnp.zeros(
-                ring_ref.shape[1:], ring_ref.dtype)
+            # Stale tile garbage must not reach the FC contraction.
+            tile_ref[:, r, :] = jnp.zeros(
+                (p, ring_ref.shape[2]), ring_ref.dtype)
+
+    base = pl.multiple_of(s * r_b, 8)
+    ring_ref[:, pl.ds(base, r_b), :] = tile_ref[...]
 
     # Ring full: contract with the FC kernel into the output block.
     if mode != "full":
@@ -451,7 +464,7 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
                 wfc_buf, wsem,
             ).wait()
             out_ref[:, :f_tile] += jnp.sum(
-                ring_ref[:, :, :f_tile].astype(jnp.float32), axis=1)
+                ring_ref[:, :, :f_tile].astype(jnp.float32), axis=0)
         return
 
     @pl.when(s == spg - 1)
@@ -463,10 +476,10 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
         ).wait()
         n_ft = f_total // f_tile
         for ft in range(n_ft):
-            acc = jnp.zeros((ring_ref.shape[0], f_tile), jnp.float32)
+            acc = jnp.zeros((ring_ref.shape[1], f_tile), jnp.float32)
             for z in range(p):
                 acc = acc + jax.lax.dot_general(
-                    ring_ref[:, z, :], wfc_buf[z],
+                    ring_ref[z], wfc_buf[z],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -489,7 +502,7 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
 def pallas_pyramid_roi_align_fc(levels, batch_idx, origins, wy, wx, wz,
                                 feature_maps, wfc, pool_size: int,
                                 slab=(16, 16, 24), group: int = 128,
-                                r_batch: int = 4, f_tile: int = 256,
+                                r_batch: int = 8, f_tile: int = 256,
                                 bounds=None, interpret: bool = False,
                                 mode: str = "full"):
     """Fused slab-DMA ROIAlign + pool-cube FC contraction.
@@ -506,6 +519,8 @@ def pallas_pyramid_roi_align_fc(levels, batch_idx, origins, wy, wx, wz,
     r_b = int(r_batch)
     grp = int(group)
     assert grp % r_b == 0
+    # The kernel's ring store needs an 8-aligned sublane base (= s * r_b).
+    assert r_b % 8 == 0, r_b
     ck = min(c, 128)
     assert c % ck == 0
     c_chunks = c // ck
@@ -561,7 +576,8 @@ def pallas_pyramid_roi_align_fc(levels, batch_idx, origins, wy, wx, wz,
             (grp, f), lambda g, c, s, *pf: (g, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((grp, p, p * p * ck), feature_maps[0].dtype),
+            pltpu.VMEM((p, grp, p * p * ck), feature_maps[0].dtype),
+            pltpu.VMEM((p, r_b, p * p * ck), feature_maps[0].dtype),
             pltpu.VMEM((2, r_b, s_y, s_x, s_z, ck), feature_maps[0].dtype),
             pltpu.VMEM((p, p * p * ck, ftl), feature_maps[0].dtype),
             pltpu.SemaphoreType.DMA((2, r_b)),

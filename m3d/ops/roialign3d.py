@@ -626,7 +626,7 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
     "pool_size", "interpret", "r_batch", "group", "mode", "fc_slab_cap"))
 def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
                          fc_kernel, interpret: bool = False,
-                         r_batch: int = 4, group: int = 128,
+                         r_batch: int = 8, group: int = 128,
                          mode: str = "full", fc_slab_cap=(16, 16, 24)):
     """Pyramid ROIAlign fused with the pool-cube FC conv: [B, N, F] f32.
 

@@ -97,11 +97,9 @@ def main():
     import functools
     for label, kw in (
         ("fused full rb4", {}),
-        ("fused full rb8", {"r_batch": 8}),
         ("fused full rb8 slab12", {"r_batch": 8,
                                    "fc_slab_cap": (12, 12, 24)}),
         ("fused nofc rb4", {"mode": "nofc"}),
-        ("fused dmaonly rb4", {"mode": "dmaonly"}),
     ):
         chain_time(f"[{label}]", functools.partial(fused, **kw),
                    boxes, feats, kern)
