@@ -643,14 +643,17 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
     STATUS — correct but NOT dispatched. v5e measurements at the 128^3 B=4
     classifier workload (scripts/bench_roialign_fc.py): unfused
     gather+conv3d_fc in one jit = 36.6 ms (of which ~11 ms is
-    materializing the pooled tensor); this fused path = 48.2 ms at
-    r_batch=4 / 40.9 ms at r_batch=8 + (12,12,24) slab cap. The isolation
-    sweep (mode=dmaonly/nofc) shows the slab DMA + grid floor is 11.8 ms
-    — the loss is the per-ROI separable chain (~25 ms: VMEM transposes
-    between the three stage matmuls; contracting middle dims via
-    dot_general instead is slower still, 52.2 ms) and the ring FC
-    (~11 ms). Cutting the separable cost (block-diagonal R-batched
-    stage-1, z-leading ring) is the remaining path to < 30 ms.
+    materializing the pooled tensor); this fused path's best = 40.1 ms
+    (r_batch=8, (12,12,24) slab cap, z-leading ring). Iteration history:
+    48.2 ms first working version (r_batch=4); 52.2 ms with middle-dim
+    dot_general instead of explicit transposes (Mosaic's implicit
+    relayouts are slower); 40.1 ms after the z-leading ring made the FC
+    reads contiguous, dropping the in-kernel FC from ~11 ms to ~2 ms
+    (mode=nofc 41.9 vs full 44.2 on the same config). The isolation sweep
+    pins the slab-DMA + grid floor at 11.8 ms — the remaining gap is
+    entirely the per-ROI separable chain (~26 ms: three small-K MXU
+    matmuls with VMEM transposes between). A block-diagonal R-batched
+    stage-1 with host-precomputed block weights is the one untried idea.
     """
     from m3d.ops.pallas_roialign import (pallas_pyramid_roi_align,
                                          pallas_pyramid_roi_align_fc)
