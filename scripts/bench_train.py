@@ -69,24 +69,25 @@ def main():
     step = trainer.make_train_step(tx)
 
     t0 = time.perf_counter()
-    params, opt_state, metrics = step(params, opt_state, batch_stats, data)
+    params, opt_state, batch_stats, metrics = step(
+        params, opt_state, batch_stats, data)
     print(f"[rpn-step] compile+first(dispatch): {time.perf_counter()-t0:.1f}s",
           flush=True)
 
     # Honest device time on the axon tunnel: only a host fetch forces
     # execution, so run K chained steps and take the slope between two loop
     # lengths — cancels the fixed fetch cost. The step donates params/
-    # opt_state, so every call must consume the PREVIOUS call's outputs
-    # (reusing a donated handle fails with InvalidArgument at execution).
-    state = [params, opt_state]
+    # opt_state/batch_stats, so every call must consume the PREVIOUS call's
+    # outputs (reusing a donated handle fails at execution).
+    state = [params, opt_state, batch_stats]
 
     def run(k):
-        p, o = state
+        p, o, bs = state
         t0 = time.perf_counter()
         for _ in range(k):
-            p, o, m = step(p, o, batch_stats, data)
+            p, o, bs, m = step(p, o, bs, data)
         float(m["loss"])  # force execution
-        state[0], state[1] = p, o
+        state[0], state[1], state[2] = p, o, bs
         return time.perf_counter() - t0
 
     run(1)  # warm
@@ -121,16 +122,17 @@ def main():
     o2 = jax.device_put(tx.init(p2))
     key = jax.random.PRNGKey(1)
 
-    state2 = [p2, o2]
+    bs2 = jax.device_put(variables2.get("batch_stats", {}))
+    state2 = [p2, o2, bs2]
 
     def run_e2e(k):
-        p, o = state2
+        p, o, bs = state2
         t0 = time.perf_counter()
         for s in range(k):
-            p, o, m = e2e_step(p, o, batch_stats, e2e_batch,
-                               jax.random.fold_in(key, s))
+            p, o, bs, m = e2e_step(p, o, bs, e2e_batch,
+                                   jax.random.fold_in(key, s))
         float(m["pos_count"])
-        state2[0], state2[1] = p, o
+        state2[0], state2[1], state2[2] = p, o, bs
         return time.perf_counter() - t0
 
     run_e2e(1)
