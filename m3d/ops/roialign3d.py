@@ -652,8 +652,14 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
     (mode=nofc 41.9 vs full 44.2 on the same config). The isolation sweep
     pins the slab-DMA + grid floor at 11.8 ms — the remaining gap is
     entirely the per-ROI separable chain (~26 ms: three small-K MXU
-    matmuls with VMEM transposes between). A block-diagonal R-batched
-    stage-1 with host-precomputed block weights is the one untried idea.
+    matmuls with VMEM transposes between). The final idea was also tried
+    and measured NEGATIVE: a block-diagonal R-batched stage-1 (one
+    [r_b*p, r_b*Sy] x [r_b*Sy, Sx*SZ*ck] matmul per step with
+    host-precomputed zero off-diagonal weights) gives 42.3 ms on the best
+    config vs 40.1 per-ROI — the r_b-fold FLOP inflation of the block
+    structure costs more than the per-matmul overhead it amortizes. The
+    kernel family is exhausted on this backend; the unfused gather+FC
+    path remains the production dispatch.
     """
     from m3d.ops.pallas_roialign import (pallas_pyramid_roi_align,
                                          pallas_pyramid_roi_align_fc)
