@@ -18,6 +18,15 @@ skipped chunks cost ~nothing while shapes stay fully static — one compiled
 graph serves any instance count, unlike a host-side two-tier dispatch which
 would pay a device->host sync per image.
 
+The classifier stage chunks the per-image proposal axis directly. The mask
+stage goes further (``compacted_mask_stage``): the detection boxes are
+compacted valid-first across the flattened batch × slot axis, ROIAlign
+writes the pooled features already compacted (the Pallas VMEM kernel skips
+dead rows — m3d/ops/roialign3d.py:pyramid_roi_align_compact), and the
+mask-head convolutions — the expensive part — are gated on the TOTAL
+instance count in the batch, so one crowded image does not force full-width
+compute for its whole batch.
+
 Semantics are preserved exactly: skipped classifier chunks yield zero class
 probabilities for slots whose proposals are zero-padding anyway (the
 detection layer independently filters padding via its ``roi_valid`` mask),
@@ -37,21 +46,26 @@ from m3d.models.mask_rcnn import MaskRCNN
 
 def default_chunks(model: "MaskRCNN"):
     """Measured-good chunk sizes (scripts/bench_adaptive.py, v5e, 128³ B=4):
-    chunking is free even when every chunk is active (50/50 valid: 136.9 ms
-    vs 137.5 monolithic; chunked classifier at full 500 count measures ~4 ms
-    FASTER than monolithic — smaller per-dispatch footprints schedule
-    better), and each skipped mask chunk of 10 saves ~14.3 ms. So adaptive
-    chunking is the default inference path.
+    chunking is ~free even when every chunk is active (chunked classifier at
+    full 500 count measures ~4 ms FASTER than monolithic — smaller
+    per-dispatch footprints schedule better), and each skipped mask-conv ROI
+    saves ~0.28 ms. So adaptive chunking is the default inference path.
 
     Returns (classifier_chunk, mask_chunk); None disables a stage's chunking
-    (axis too short to split).
+    (axis too short to split). The classifier chunk applies per image (the
+    proposal axis); the mask chunk applies to the FLATTENED batch × slot
+    axis (compacted_mask_stage), so the mask-head conv FLOPs track the total
+    number of instances in the batch. 40 ROIs per mask chunk keeps the
+    chunk's convolutions MXU-shaped (C=10 measured 0.45 ms/ROI vs 0.28 at
+    C=40); chunked_roi_stage degrades to one monolithic call when the flat
+    axis is not longer than the chunk.
     """
     cls = None
     if model.post_nms_rois > 128:
         cls = min(256, max(64, -(-model.post_nms_rois // 4)))
     mask = None
     if model.detection_max_instances > 10:
-        mask = max(8, -(-model.detection_max_instances // 5))
+        mask = 40
     return cls, mask
 
 
@@ -74,12 +88,14 @@ def chunked_roi_stage(apply_chunk, rois, max_valid, chunk: int):
     chunks that start at or beyond ``max_valid``.
 
     Args:
-      apply_chunk: pure fn, rois [B, chunk, 6] -> pytree of [B, chunk, ...].
-      rois: [B, N, 6]; valid slots compacted to the front of axis 1.
-      max_valid: [] int32 — max valid count across the batch (traced value).
+      apply_chunk: pure fn, [B, chunk, ...] -> pytree of [B, chunk, ...].
+      rois: [B, N, ...] per-ROI items (boxes, or pre-aligned features);
+        valid slots compacted to the front of axis 1.
+      max_valid: [] int32 — gating count (traced value); chunks starting at
+        or beyond it are skipped.
       chunk: static chunk size along the ROI axis.
 
-    Returns the same pytree apply_chunk would return for the full [B, N, 6]
+    Returns the same pytree apply_chunk would return for the full [B, N, ...]
     input, with skipped-chunk slots zero-filled.
     """
     b, n = rois.shape[:2]
@@ -89,7 +105,8 @@ def chunked_roi_stage(apply_chunk, rois, max_valid, chunk: int):
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
     if pad:
-        rois = jnp.pad(rois, ((0, 0), (0, pad), (0, 0)))
+        rois = jnp.pad(
+            rois, ((0, 0), (0, pad)) + ((0, 0),) * (rois.ndim - 2))
 
     out_sds = jax.eval_shape(
         apply_chunk,
@@ -118,6 +135,54 @@ def chunked_roi_stage(apply_chunk, rois, max_valid, chunk: int):
 def _valid_count(valid):
     """Max per-image valid count across the batch ([] int32)."""
     return jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
+
+
+def compacted_mask_stage(model, variables, detections, det_valid, image_meta,
+                         mrcnn_feats, chunk: int):
+    """Mask head with cross-batch BOX-level compaction: compute only rows
+    that exist.
+
+    Gating chunks on the per-image max wastes whenever instance counts are
+    skewed across the batch (one crowded image forces every chunk on for the
+    whole batch). Here the detection BOXES — a tiny [B*N, 6] tensor — are
+    sorted valid-first across the flattened batch × slot axis (stable, so
+    the live block stays image-major and score-ordered), ROIAlign writes the
+    pooled features already compacted (``pyramid_roi_align_compact``: the
+    Pallas VMEM kernel skips rows at or beyond the total live count), and
+    the mask-head convolutions run chunk-gated on that same total. Only the
+    final [B*N, (2m)³, num_classes] masks are inverse-permuted back to
+    padded slot order.
+
+    An earlier variant aligned all padded slots and permuted the ~280 MB
+    pooled-feature tensor instead; its measured floor was ~17.5 ms above the
+    per-image-gated path (scripts/bench_adaptive.py, v5e 128³ B=4:
+    ``compact mask C=40 total=0`` 83.0 ms vs ``mask C=10 count=0`` 65.5 ms),
+    which box-level compaction removes.
+
+    Returns masks [B, N, 2m, 2m, 2m, num_classes]; invalid slots whose
+    compacted rank falls beyond the last active chunk are zero.
+    """
+    b, n = det_valid.shape[:2]
+    valid_f = det_valid.reshape(b * n)
+    # Stable sort: valid slots first; within the live block the original
+    # (image, score) order is preserved, so rows stay image-grouped — the
+    # layout the compact VMEM kernel's pyramid-residency model requires.
+    perm = jnp.argsort(jnp.logical_not(valid_f), stable=True)
+    inv = jnp.argsort(perm)
+    total = jnp.sum(valid_f.astype(jnp.int32))
+
+    boxes_f = detections[..., :6].reshape(b * n, 6)[perm]
+    batch_f = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[perm]
+    aligned = model.apply(variables, boxes_f, batch_f, total, image_meta,
+                          mrcnn_feats, method=MaskRCNN.mask_align_compact)
+
+    def head_chunk(x):
+        return model.apply(variables, x, method=MaskRCNN.apply_mask_head)
+
+    masks_flat = chunked_roi_stage(head_chunk, aligned[None], total,
+                                   int(chunk))[0]
+    masks = masks_flat[inv]
+    return masks.reshape((b, n) + masks.shape[1:])
 
 
 def adaptive_inference(model: MaskRCNN, variables, image, image_meta, anchors,
@@ -161,17 +226,14 @@ def adaptive_inference(model: MaskRCNN, variables, image, image_meta, anchors,
         nms_xy_only=model.detection_nms_xy_only,
     )
 
-    def mask(rois):
-        return model.apply(variables, rois, image_meta, mrcnn_feats,
-                           method=MaskRCNN.mask_rois)
-
     if mask_chunk:
-        masks = chunked_roi_stage(
-            mask, detections[..., :6], _valid_count(det_valid),
-            int(mask_chunk),
+        masks = compacted_mask_stage(
+            model, variables, detections, det_valid, image_meta, mrcnn_feats,
+            chunk=int(mask_chunk),
         )
     else:
-        masks = mask(detections[..., :6])
+        masks = model.apply(variables, detections[..., :6], image_meta,
+                            mrcnn_feats, method=MaskRCNN.mask_rois)
 
     return {
         "detections": detections,

@@ -29,7 +29,8 @@ from m3d.models.fpn import FPN3D
 from m3d.models.heads import ClassifierHead, MaskHead
 from m3d.models.proposal import generate_proposals
 from m3d.models.rpn_head import RPNHead
-from m3d.ops.roialign3d import pyramid_roi_align, pyramid_roi_align_auto
+from m3d.ops.roialign3d import (pyramid_roi_align, pyramid_roi_align_auto,
+                                pyramid_roi_align_compact)
 
 Dtype = Any
 
@@ -193,6 +194,24 @@ class MaskRCNN(nn.Module):
             rois, image_meta, list(mrcnn_feature_maps), self.pool_size
         )
         return self.classifier(aligned)
+
+    def mask_align_compact(self, boxes_flat, batch_idx, total, image_meta,
+                           mrcnn_feature_maps):
+        """Mask-stage ROIAlign over a compacted flat ROI list ([N, 6] boxes
+        + [N] source-image indices, live rows first, gated on ``total``) —
+        the adaptive inference path (m3d/models/inference.py) sorts the
+        detection slots valid-first across the batch so both ROIAlign and
+        the (much more expensive) mask-head convolutions only compute rows
+        that exist. Returns [N, m, m, m, C]."""
+        return pyramid_roi_align_compact(
+            boxes_flat, batch_idx, total, image_meta,
+            list(mrcnn_feature_maps), self.mask_pool_size
+        )
+
+    def apply_mask_head(self, aligned):
+        """Mask-head convolutions on pre-aligned features [B, T, m, m, m, C]
+        (split from mask_rois so the adaptive path can chunk-gate them)."""
+        return self.mask_head(aligned)
 
     def mask_rois(self, rois, image_meta, mrcnn_feature_maps):
         aligned = pyramid_roi_align_auto(

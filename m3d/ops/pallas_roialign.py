@@ -754,3 +754,148 @@ def pallas_pyramid_roi_align(levels, batch_idx, origins, wy, wx, wz,
     )(meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], meta[:, 4],
       bounds, wy, wx, wz, *feature_maps)
     return out[:n] if n_pad else out
+
+
+def _kernel_vmem_compact(lvl_ref, bat_ref, bnd_ref,
+                         # ^ scalar-prefetch: [N] int32 levels, [N] int32
+                         # source-image index per ROI, [1] int32 total
+                         wy_ref, wx_ref, wz_ref,   # [1, p, Smax] f32 blocks
+                         f2_ref, f3_ref, f4_ref, f5_ref,  # [B,H,W,D,C] (HBM)
+                         out_ref,            # [1, p, p, p, Ck] (VMEM)
+                         s2, s3, s4, s5,     # VMEM scratch: one level x chunk
+                         sems):              # DMA semaphores [4]
+    """VMEM-resident ROIAlign over a COMPACTED flat ROI list.
+
+    Same separable full-extent contraction as _kernel_vmem, but the grid is
+    (c_chunks, N) over a flat ROI list whose rows are grouped by source
+    image (image-major) with the live rows first: bat_ref names each ROI's
+    image and only rows < bnd_ref[0] compute (a skipped step costs grid
+    bookkeeping only — rows at or beyond the bound hold stale VMEM garbage,
+    which the host wrapper masks to zero). The pyramid chunk of an image is
+    (re)loaded into VMEM whenever bat_ref changes between consecutive steps,
+    so the stripe DMA cost is O(images present), not O(N).
+
+    One ROI per step: r_batch == 1 is the measured-best configuration for
+    the resident kernel (see _VMEM_R_CAP in m3d/ops/roialign3d.py), and a
+    wider step could straddle an image boundary in the compacted list.
+    """
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    ck = out_ref.shape[4]
+    p = out_ref.shape[1]
+    total = bnd_ref[0]
+    active = i < total
+
+    srefs = (s2, s3, s4, s5)
+    frefs = (f2_ref, f3_ref, f4_ref, f5_ref)
+
+    b = bat_ref[i]
+    # Valid rows are contiguous from 0, so i-1 is in-bounds and valid
+    # whenever `active` holds for i > 0.
+    prev_b = bat_ref[jnp.maximum(i - 1, 0)]
+    need_load = jnp.logical_and(active,
+                                jnp.logical_or(i == 0, prev_b != b))
+
+    @pl.when(need_load)
+    def _():
+        oc = pl.multiple_of(j * ck, 128)
+        for lv in range(4):
+            h, w, d = frefs[lv].shape[1:4]
+            pltpu.make_async_copy(
+                frefs[lv].at[b, pl.ds(0, h), pl.ds(0, w), pl.ds(0, d),
+                             pl.ds(oc, ck)],
+                srefs[lv],
+                sems.at[lv],
+            ).start()
+        for lv in range(4):
+            h, w, d = frefs[lv].shape[1:4]
+            pltpu.make_async_copy(
+                frefs[lv].at[b, pl.ds(0, h), pl.ds(0, w), pl.ds(0, d),
+                             pl.ds(0, ck)],
+                srefs[lv],
+                sems.at[lv],
+            ).wait()
+
+    def contract_front(w, t, out_dtype):
+        r = jax.lax.dot_general(
+            w.astype(t.dtype), t,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return r.astype(out_dtype)
+
+    @pl.when(active)
+    def _():
+        acc = jnp.zeros((p, p, p, ck), jnp.float32)
+        for lv in range(4):
+            sref = srefs[lv]
+            h, w, d = sref.shape[0], sref.shape[1], sref.shape[2]
+            slab = sref[...]                       # [H, W, D, Ck]
+            cd = slab.dtype
+            t1 = contract_front(wy_ref[0, :, :h],
+                                slab.reshape(h, w * d * ck), cd)
+            t1 = jnp.transpose(t1.reshape(p, w, d * ck),
+                               (1, 0, 2)).reshape(w, p * d * ck)
+            t2 = contract_front(wx_ref[0, :, :w], t1, cd)
+            t2 = jnp.transpose(t2.reshape(p, p, d, ck),
+                               (2, 0, 1, 3)).reshape(d, p * p * ck)
+            t3 = contract_front(wz_ref[0, :, :d], t2, jnp.float32)
+            # Level-select as an SMEM-scalar multiply (see _kernel_vmem).
+            sel = (lvl_ref[i] == lv).astype(jnp.float32)
+            acc = acc + jnp.transpose(
+                t3.reshape(p, p, p, ck), (2, 1, 0, 3)) * sel
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pool_size", "interpret"),
+)
+def pallas_pyramid_roi_align_vmem_compact(levels, batch_idx, total, wy, wx,
+                                          wz, feature_maps, pool_size: int,
+                                          interpret: bool = False):
+    """VMEM-resident pyramid ROIAlign over a compacted flat ROI list.
+
+    levels/batch_idx: [N] int32, rows grouped by source image (image-major)
+    with the live rows first; total: [] int32 — rows at index >= total are
+    NOT computed and contain garbage (the caller masks them);
+    wy/wx/wz: [N, p, Smax] dense full-extent weights as in
+    pallas_pyramid_roi_align_vmem. Returns [N, p, p, p, C].
+    """
+    n = levels.shape[0]
+    p = int(pool_size)
+    c = feature_maps[0].shape[-1]
+    ck = min(c, 128)
+    assert c % ck == 0
+    c_chunks = c // ck
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(c_chunks, n),
+        in_specs=[
+            pl.BlockSpec((1, p, wy.shape[2]), lambda j, i, *pf: (i, 0, 0)),
+            pl.BlockSpec((1, p, wx.shape[2]), lambda j, i, *pf: (i, 0, 0)),
+            pl.BlockSpec((1, p, wz.shape[2]), lambda j, i, *pf: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, p, p, p, ck), lambda j, i, *pf: (i, 0, 0, 0, j),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(tuple(fm.shape[1:4]) + (ck,), feature_maps[0].dtype)
+            for fm in feature_maps
+        ] + [pltpu.SemaphoreType.DMA((4,))],
+    )
+    return pl.pallas_call(
+        _kernel_vmem_compact,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, p, p, p, c),
+                                       feature_maps[0].dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(levels.astype(jnp.int32), batch_idx.astype(jnp.int32),
+      jnp.asarray(total, jnp.int32).reshape(1), wy, wx, wz, *feature_maps)

@@ -26,7 +26,8 @@ from m3d.anchors import normalized_pyramid_anchors  # noqa: E402
 from m3d.config import Config  # noqa: E402
 from m3d.image_meta import default_meta  # noqa: E402
 from m3d.models.detection import refine_detections_batch  # noqa: E402
-from m3d.models.inference import chunked_roi_stage  # noqa: E402
+from m3d.models.inference import (chunked_roi_stage,  # noqa: E402
+                                  compacted_mask_stage)
 from m3d.models.mask_rcnn import MaskRCNN, init_params  # noqa: E402
 
 
@@ -132,6 +133,43 @@ def main():
                 v, img + c, cls_chunk=125, cls_count=cnt,
                 mask_chunk=10, mask_count=20),
             image, variables)
+
+    # Compacted mask stage: gate on the TOTAL valid count across the batch
+    # (det_valid forced to the first `total` flat slots — cost-equivalent to
+    # any real distribution with that total).
+    nmax = int(cfg.DETECTION_MAX_INSTANCES)
+
+    def pipeline_compact(v, img, total, chunk=10):
+        feats = model.apply(v, img, method=MaskRCNN.extract_features)
+        _, probs, deltas = model.apply(v, list(feats),
+                                       method=MaskRCNN.rpn_forward)
+        props, _ = model.apply(v, probs, deltas, anchors,
+                               method=MaskRCNN.propose)
+        mf = list(feats[:4])
+        _, cprobs, cbbox = chunked_roi_stage(
+            lambda r: model.apply(v, r, meta, mf,
+                                  method=MaskRCNN.classify_rois),
+            props, jnp.int32(500), 125)
+        det, _ = refine_detections_batch(
+            props, cprobs, cbbox, meta, bsd,
+            cfg.DETECTION_MIN_CONFIDENCE, cfg.DETECTION_NMS_THRESHOLD, nmax)
+        forced = (jnp.arange(batch * nmax, dtype=jnp.int32)
+                  < total).reshape(batch, nmax)
+        masks = compacted_mask_stage(model, v, det, forced, meta, mf,
+                                     chunk=chunk)
+        return det, masks
+
+    # C=10 (first sweep) measured NEGATIVE: batch-10 conv chunks underutilize
+    # vs the per-image path's [4,10]=batch-40 chunks (0.455 vs 0.356 ms/ROI
+    # slope). C=40/50 match per-chunk utilization while gating on the batch
+    # total.
+    for chunk, totals in ((40, (0, 80, 112, 160, 200)), (50, (112, 200))):
+        for total in totals:
+            chain_time(
+                f"compact mask C={chunk} total={total}",
+                lambda c, img, v, total=total, chunk=chunk: pipeline_compact(
+                    v, img + c, total, chunk),
+                image, variables)
 
     print(f"baseline {base*1e3:.2f} ms -> vol/s = {batch/base:.2f}")
 

@@ -71,9 +71,16 @@ def _check_equiv(full, out, mask_chunk):
         c = int(counts[b])
         np.testing.assert_allclose(masks_a[b, :c], masks_f[b, :c],
                                    rtol=1e-4, atol=1e-5)
-    # Slots beyond the last active chunk are exactly zero (skipped chunks).
-    boundary = -(-int(counts.max()) // mask_chunk) * mask_chunk
-    assert (masks_a[:, boundary:] == 0).all()
+    # Compacted semantics: slots whose valid-first flat rank falls beyond
+    # the last active chunk are exactly zero (skipped chunks).
+    bsz, n = det_valid.shape
+    flat_valid = det_valid.reshape(bsz * n)
+    perm = np.argsort(~flat_valid, kind="stable")
+    total = int(flat_valid.sum())
+    boundary = -(-total // mask_chunk) * mask_chunk
+    masks_flat = masks_a.reshape((bsz * n,) + masks_a.shape[2:])
+    if boundary < bsz * n:
+        assert (masks_flat[perm[boundary:]] == 0).all()
 
 
 @pytest.mark.parametrize("cls_chunk,mask_chunk", [(16, 4), (24, 3)])

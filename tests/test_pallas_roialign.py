@@ -105,3 +105,48 @@ def test_fused_fc_matches_unfused(rng):
         boxes, meta, feats, 7, kern, interpret=True))
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+
+
+@pytest.mark.parametrize("c,interp", [(256, True), (8, False)])
+def test_compact_matches_padded(rng, c, interp):
+    """pyramid_roi_align_compact (Pallas VMEM compact kernel in interpret
+    mode at c=256; XLA gather fallback at c=8) == pyramid_roi_align on the
+    equivalent padded layout, with skewed per-image counts; rows at or
+    beyond `total` are exactly zero."""
+    import numpy as np
+
+    from m3d.ops.roialign3d import pyramid_roi_align_compact
+
+    depth = 16
+    cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=depth, NUM_CLASSES=2)
+    meta = np.tile(default_meta(cfg)[None], (3, 1))
+    feats = [rng.randn(3, 16, 16, depth, c).astype(np.float32),
+             rng.randn(3, 8, 8, depth, c).astype(np.float32),
+             rng.randn(3, 4, 4, depth // 2, c).astype(np.float32),
+             rng.randn(3, 2, 2, depth // 4, c).astype(np.float32)]
+    n_per = 4
+    lo = rng.uniform(0, 0.45, (3, n_per, 3)).astype(np.float32)
+    ext = rng.uniform(0.1, 0.5, (3, n_per, 3)).astype(np.float32)
+    boxes = np.concatenate([lo, np.minimum(lo + ext, 1.0)], -1)
+
+    # Skewed live counts [3, 0, 2]: compacted list = image0 rows 0..2,
+    # image2 rows 0..1, then padding rows (zero boxes, arbitrary indices).
+    counts = [3, 0, 2]
+    total = sum(counts)
+    boxes_f = np.zeros((3 * n_per, 6), np.float32)
+    batch_f = np.zeros((3 * n_per,), np.int32)
+    r = 0
+    for b, cnt in enumerate(counts):
+        boxes_f[r:r + cnt] = boxes[b, :cnt]
+        batch_f[r:r + cnt] = b
+        r += cnt
+
+    ref = np.asarray(pyramid_roi_align(boxes, meta, feats, 7))
+    got = np.asarray(pyramid_roi_align_compact(
+        boxes_f, batch_f, np.int32(total), meta, feats, 7,
+        interpret=interp))
+    r = 0
+    for b, cnt in enumerate(counts):
+        np.testing.assert_allclose(got[r:r + cnt], ref[b, :cnt], atol=1e-4)
+        r += cnt
+    assert (got[total:] == 0).all()
