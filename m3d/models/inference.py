@@ -18,14 +18,18 @@ skipped chunks cost ~nothing while shapes stay fully static — one compiled
 graph serves any instance count, unlike a host-side two-tier dispatch which
 would pay a device->host sync per image.
 
-The classifier stage chunks the per-image proposal axis directly. The mask
-stage goes further (``compacted_mask_stage``): the detection boxes are
-compacted valid-first across the flattened batch × slot axis, ROIAlign
-writes the pooled features already compacted (the Pallas VMEM kernel skips
-dead rows — m3d/ops/roialign3d.py:pyramid_roi_align_compact), and the
-mask-head convolutions — the expensive part — are gated on the TOTAL
-instance count in the batch, so one crowded image does not force full-width
-compute for its whole batch.
+Both per-ROI stages are compacted CROSS-BATCH: the ROI boxes (a tiny [B*N]
+tensor) are sorted valid-first across the flattened batch × slot axis and
+per-ROI compute is gated on the TOTAL live count in the batch, so one
+crowded image does not force full-width compute for its whole batch. For
+the classifier stage (``compacted_classifier_stage``) each flat chunk runs
+gather-path ROIAlign + FC head under one ``lax.cond`` — skipping a chunk
+skips its gather too, and the pooled [chunk, 7³, C] tensor stays small
+enough to fuse instead of materializing to HBM. For the mask stage
+(``compacted_mask_stage``) ROIAlign writes the pooled features already
+compacted (the Pallas VMEM kernel skips dead rows —
+m3d/ops/roialign3d.py:pyramid_roi_align_compact) and the mask-head
+convolutions — the expensive part — run chunk-gated on the same total.
 
 Semantics are preserved exactly: skipped classifier chunks yield zero class
 probabilities for slots whose proposals are zero-padding anyway (the
@@ -52,13 +56,14 @@ def default_chunks(model: "MaskRCNN"):
     saves ~0.28 ms. So adaptive chunking is the default inference path.
 
     Returns (classifier_chunk, mask_chunk); None disables a stage's chunking
-    (axis too short to split). The classifier chunk applies per image (the
-    proposal axis); the mask chunk applies to the FLATTENED batch × slot
-    axis (compacted_mask_stage), so the mask-head conv FLOPs track the total
-    number of instances in the batch. 40 ROIs per mask chunk keeps the
-    chunk's convolutions MXU-shaped (C=10 measured 0.45 ms/ROI vs 0.28 at
-    C=40); chunked_roi_stage degrades to one monolithic call when the flat
-    axis is not longer than the chunk.
+    (axis too short to split). Both chunks apply to the FLATTENED batch ×
+    slot axis (compacted_*_stage), so per-ROI cost tracks the TOTAL live
+    count in the batch. 40 ROIs per mask chunk keeps the chunk's
+    convolutions MXU-shaped (C=10 measured 0.45 ms/ROI vs 0.28 at C=40);
+    125 proposals per classifier chunk matches the measured-best per-image
+    chunking granularity (C=125 at full count ran ~4 ms FASTER than
+    monolithic). chunked_roi_stage degrades to one monolithic call when the
+    flat axis is not longer than the chunk.
     """
     cls = None
     if model.post_nms_rois > 128:
@@ -132,9 +137,61 @@ def chunked_roi_stage(apply_chunk, rois, max_valid, chunk: int):
     return jax.tree.map(stitch, outs)
 
 
-def _valid_count(valid):
-    """Max per-image valid count across the batch ([] int32)."""
-    return jnp.max(jnp.sum(valid.astype(jnp.int32), axis=1))
+def _compact_perm(valid):
+    """Valid-first stable permutation of the flattened [B, N] validity mask.
+    Returns (perm, inv, total): flat indices live-rows-first (image-major
+    and score-ordered within the live block — both NMS producers emit
+    front-compacted, score-sorted slots), its inverse, and the live count.
+    """
+    b, n = valid.shape[:2]
+    valid_f = valid.reshape(b * n)
+    perm = jnp.argsort(jnp.logical_not(valid_f), stable=True)
+    inv = jnp.argsort(perm)
+    total = jnp.sum(valid_f.astype(jnp.int32))
+    return perm, inv, total
+
+
+def compacted_classifier_stage(model, variables, proposals, prop_valid,
+                               image_meta, mrcnn_feats, chunk: int):
+    """Classifier stage with cross-batch BOX-level compaction.
+
+    Same construction as ``compacted_mask_stage``, applied to the proposal
+    axis: proposals are sorted valid-first over the flattened batch × slot
+    axis, and chunks of the flat list run ROIAlign (the gather path — its
+    cost is ∝ rows gathered, so skipped chunks skip the gather too, not just
+    the FC convs) + the classifier head under ``lax.cond`` gated on the
+    TOTAL live proposal count. Per-image chunking can only skip work shared
+    by every image in the batch; at real workloads proposal counts are
+    skewed, and NMS rarely fills POST_NMS_ROIS_INFERENCE, so the batch total
+    is the right gate.
+
+    Returns (class_logits, class_probs, bbox_deltas) shaped [B, N, ...];
+    slots whose compacted rank falls beyond the last active chunk are zero
+    (their zero-padding proposals are filtered downstream by the detection
+    layer's own roi_valid mask — m3d/models/detection.py:54).
+    """
+    b, n = prop_valid.shape[:2]
+    perm, inv, total = _compact_perm(prop_valid)
+    boxes_f = proposals.reshape(b * n, 6)[perm]
+    batch_f = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[perm]
+    # Pack boxes + source-image index into one array so chunked_roi_stage
+    # slices them together (small int indices are exact in f32).
+    packed = jnp.concatenate(
+        [boxes_f, batch_f.astype(jnp.float32)[:, None]], axis=-1)[None]
+
+    def cls_chunk(x):  # [1, chunk, 7]
+        logits, probs, deltas = model.apply(
+            variables, x[0, :, :6], x[0, :, 6].astype(jnp.int32),
+            image_meta, mrcnn_feats, method=MaskRCNN.classify_rois_flat)
+        return logits[None], probs[None], deltas[None]
+
+    outs = chunked_roi_stage(cls_chunk, packed, total, int(chunk))
+
+    def unflat(x):
+        x = x[0][inv]
+        return x.reshape((b, n) + x.shape[1:])
+
+    return jax.tree.map(unflat, outs)
 
 
 def compacted_mask_stage(model, variables, detections, det_valid, image_meta,
@@ -163,13 +220,10 @@ def compacted_mask_stage(model, variables, detections, det_valid, image_meta,
     compacted rank falls beyond the last active chunk are zero.
     """
     b, n = det_valid.shape[:2]
-    valid_f = det_valid.reshape(b * n)
     # Stable sort: valid slots first; within the live block the original
     # (image, score) order is preserved, so rows stay image-grouped — the
     # layout the compact VMEM kernel's pyramid-residency model requires.
-    perm = jnp.argsort(jnp.logical_not(valid_f), stable=True)
-    inv = jnp.argsort(perm)
-    total = jnp.sum(valid_f.astype(jnp.int32))
+    perm, inv, total = _compact_perm(det_valid)
 
     boxes_f = detections[..., :6].reshape(b * n, 6)[perm]
     batch_f = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)[perm]
@@ -205,17 +259,15 @@ def adaptive_inference(model: MaskRCNN, variables, image, image_meta, anchors,
     )
     mrcnn_feats = list(feats[:4])  # P2..P5
 
-    def classify(rois):
-        return model.apply(variables, rois, image_meta, mrcnn_feats,
-                           method=MaskRCNN.classify_rois)
-
     if classifier_chunk:
-        cls_logits, cls_probs, cls_bbox = chunked_roi_stage(
-            classify, proposals, _valid_count(prop_valid),
-            int(classifier_chunk),
+        cls_logits, cls_probs, cls_bbox = compacted_classifier_stage(
+            model, variables, proposals, prop_valid, image_meta, mrcnn_feats,
+            chunk=int(classifier_chunk),
         )
     else:
-        cls_logits, cls_probs, cls_bbox = classify(proposals)
+        cls_logits, cls_probs, cls_bbox = model.apply(
+            variables, proposals, image_meta, mrcnn_feats,
+            method=MaskRCNN.classify_rois)
 
     detections, det_valid = refine_detections_batch(
         proposals, cls_probs, cls_bbox, image_meta,

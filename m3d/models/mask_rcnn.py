@@ -30,7 +30,8 @@ from m3d.models.heads import ClassifierHead, MaskHead
 from m3d.models.proposal import generate_proposals
 from m3d.models.rpn_head import RPNHead
 from m3d.ops.roialign3d import (pyramid_roi_align, pyramid_roi_align_auto,
-                                pyramid_roi_align_compact)
+                                pyramid_roi_align_compact,
+                                pyramid_roi_align_flat)
 
 Dtype = Any
 
@@ -194,6 +195,22 @@ class MaskRCNN(nn.Module):
             rois, image_meta, list(mrcnn_feature_maps), self.pool_size
         )
         return self.classifier(aligned)
+
+    def classify_rois_flat(self, boxes_flat, batch_idx, image_meta,
+                           mrcnn_feature_maps):
+        """Classifier stage over a FLAT ROI list ([N, 6] boxes + [N] source
+        image indices): gather-path ROIAlign (cost ∝ rows computed) + FC
+        head. The adaptive inference path chunks this call on the
+        valid-first compacted flat proposal axis so classifier cost tracks
+        the TOTAL live proposal count across the batch
+        (m3d/models/inference.py compacted_classifier_stage).
+        Returns ([N, num_classes] logits, probs, [N, num_classes, 6])."""
+        aligned = pyramid_roi_align_flat(
+            boxes_flat, batch_idx, image_meta, list(mrcnn_feature_maps),
+            self.pool_size
+        )
+        logits, probs, deltas = self.classifier(aligned[None])
+        return logits[0], probs[0], deltas[0]
 
     def mask_align_compact(self, boxes_flat, batch_idx, total, image_meta,
                            mrcnn_feature_maps):

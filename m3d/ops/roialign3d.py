@@ -936,47 +936,14 @@ def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
-def pyramid_roi_align_compact(boxes, batch_idx, total, image_meta,
-                              feature_maps, pool_size,
-                              method: str = "trilinear",
-                              interpret: bool = False):
-    """Pyramid ROIAlign over a COMPACTED flat ROI list (inference).
-
-    The adaptive mask stage (m3d/models/inference.py) sorts the padded
-    detection slots valid-first across the flattened batch x slot axis
-    (image-major within the live block — a stable sort of the per-image
-    front-compacted validity masks) and runs per-ROI compute only on the
-    first ``total`` rows. This entry aligns exactly those rows: on TPU the
-    compact Pallas VMEM kernel skips every row at or beyond ``total`` (cost
-    is O(total), not O(N)) and writes the pooled features already
-    compacted; rows at index >= total return zeros.
-
-    Args:
-      boxes: [N, 6] normalized ROIs, image-grouped, live rows first.
-      batch_idx: [N] int32 source image per ROI.
-      total: [] int32 count of live leading rows (traced value).
-      image_meta: [B, META]; feature_maps: 4 x [B, H_l, W_l, D_l, C].
-      pool_size: static int (or (p, p, p)).
-      interpret: force the Pallas path in interpret mode (tests).
-
-    Returns [N, p, p, p, C] in the features' dtype (Pallas path) or f32
-    (gather fallback). Not differentiable (stop_gradient on boxes; the
-    reference stops ROIAlign box gradients too, core/models.py:660-661).
-    """
-    if isinstance(pool_size, (tuple, list)):
-        assert len(set(pool_size)) == 1, pool_size
-        pool_size = pool_size[0]
-    p = int(pool_size)
-
+def _sanitize_flat_rois(boxes, batch_idx, image_meta, num_levels):
+    """Shared prep for the flat-ROI-list entries: stop-gradient + the same
+    box sanitation as pyramid_roi_align (per-ROI source-image dims from
+    image_meta) + pyramid level routing. Returns (boxes, levels, shp)."""
     meta = parse_image_meta(image_meta)
     image_shape = meta["image_shape"]                    # [B, >=3]
     boxes = jax.lax.stop_gradient(jnp.asarray(boxes, jnp.float32))
     batch_idx = jnp.asarray(batch_idx, jnp.int32)
-    n = boxes.shape[0]
-    num_levels = len(feature_maps)
-    c = feature_maps[0].shape[-1]
-
-    # Per-ROI source-image dims; same box sanitation as pyramid_roi_align.
     shp = image_shape[batch_idx]                         # [N, >=3]
     d_img = jnp.maximum(shp[:, 2], 1.0)
     y1 = jnp.clip(boxes[:, 0], 0.0, 1.0)
@@ -986,62 +953,34 @@ def pyramid_roi_align_compact(boxes, batch_idx, total, image_meta,
     x2 = jnp.maximum(jnp.clip(boxes[:, 4], 0.0, 1.0), x1 + 1e-6)
     z2 = jnp.maximum(jnp.clip(boxes[:, 5], 0.0, 1.0), z1 + 1.0 / d_img)
     boxes = jnp.stack([y1, x1, z1, y2, x2, z2], axis=-1)
-
     levels = compute_roi_levels(
         boxes, (shp[:, 0], shp[:, 1], shp[:, 2]), num_levels)  # [N]
+    return boxes, levels
 
-    row_live = jnp.arange(n, dtype=jnp.int32) < jnp.asarray(total, jnp.int32)
-    mask5 = row_live[:, None, None, None, None]
 
-    ck = min(c, 128)
-    itemsize = jnp.dtype(feature_maps[0].dtype).itemsize
-    vm_bytes = sum(
-        int(np.prod(fm.shape[1:4])) * ck * itemsize for fm in feature_maps
-    )
-    use_pallas = (
-        method == "trilinear" and c % 128 == 0
-        and vm_bytes <= 12 * 1024 * 1024
-        and (interpret or jax.default_backend() == "tpu")
-    )
-    if use_pallas:
-        from m3d.ops.pallas_roialign import (
-            pallas_pyramid_roi_align_vmem_compact)
+def pyramid_roi_align_flat(boxes, batch_idx, image_meta, feature_maps,
+                           pool_size, method: str = "trilinear"):
+    """Pyramid ROIAlign over a FLAT ROI list via the XLA gather path.
 
-        # Same prep as the VMEM branch of pyramid_roi_align_pallas: pad
-        # depths to whole sublane tiles, dense full-extent weights.
-        d_req = {1: 4, 2: 2}.get(itemsize, 1)
-        fms = [
-            jnp.pad(fm, [(0, 0)] * 3 + [(0, (-fm.shape[3]) % d_req), (0, 0)])
-            if fm.shape[3] % d_req else fm
-            for fm in feature_maps
-        ]
-        dims = jnp.asarray([fm.shape[1:4] for fm in feature_maps], jnp.int32)
-        rd = dims[levels]
-        hy = rd[:, 0].astype(jnp.float32)
-        wx_d = rd[:, 1].astype(jnp.float32)
-        dz = rd[:, 2].astype(jnp.float32)
-        pos_y = _axis_positions(boxes[:, 0], boxes[:, 3], hy, p)
-        pos_x = _axis_positions(boxes[:, 1], boxes[:, 4], wx_d, p)
-        pos_z = _axis_positions(boxes[:, 2], boxes[:, 5], dz, p)
-        h_max = max(fm.shape[1] for fm in fms)
-        w_max = max(fm.shape[2] for fm in fms)
-        d_max = max(fm.shape[3] for fm in fms)
-        _, wy = _axis_slab_weights(pos_y, hy, h_max,
-                                   origin_dim=jnp.full_like(hy, h_max))
-        _, wx = _axis_slab_weights(pos_x, wx_d, w_max,
-                                   origin_dim=jnp.full_like(wx_d, w_max))
-        _, wz = _axis_slab_weights(pos_z, dz, d_max,
-                                   origin_dim=jnp.full_like(dz, d_max))
-        out = pallas_pyramid_roi_align_vmem_compact(
-            levels, batch_idx, total, wy, wx, wz, fms, p,
-            interpret=interpret)
-        # Skipped rows hold stale VMEM garbage — mask, plus the NaN scrub.
-        return jnp.where(
-            jnp.logical_and(jnp.isfinite(out), mask5),
-            out, jnp.zeros((), out.dtype))
+    Computes every row of ``boxes`` ([N, 6], with [N] int32 source-image
+    indices) — no batch/slot structure and no validity gating; callers that
+    want gating either chunk this call under ``lax.cond``
+    (m3d/models/inference.py compacted classifier stage) or use
+    ``pyramid_roi_align_compact`` (Pallas kernel skips dead rows).
+    Differentiable w.r.t. feature_maps like pyramid_roi_align; boxes are
+    stop_gradient-ed (reference core/models.py:660-661).
 
-    # XLA gather fallback (CPU / non-trilinear / narrow channels / pyramids
-    # too big for VMEM residency): computes every row, masks the dead ones.
+    Returns [N, p, p, p, C] float32 (NaN-scrubbed, core/models.py:683).
+    """
+    if isinstance(pool_size, (tuple, list)):
+        assert len(set(pool_size)) == 1, pool_size
+        pool_size = pool_size[0]
+    p = int(pool_size)
+    batch_idx = jnp.asarray(batch_idx, jnp.int32)
+    c = feature_maps[0].shape[-1]
+    boxes, levels = _sanitize_flat_rois(
+        boxes, batch_idx, image_meta, len(feature_maps))
+
     level_dims = []
     level_offsets = []
     offset = 0
@@ -1075,4 +1014,99 @@ def pyramid_roi_align_compact(boxes, batch_idx, total, image_meta,
         positions=(pos_y, pos_x, pos_z),
         method=method,
     )
-    return jnp.where(jnp.logical_and(jnp.isfinite(out), mask5), out, 0.0)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def pyramid_roi_align_compact(boxes, batch_idx, total, image_meta,
+                              feature_maps, pool_size,
+                              method: str = "trilinear",
+                              interpret: bool = False):
+    """Pyramid ROIAlign over a COMPACTED flat ROI list (inference).
+
+    The adaptive mask stage (m3d/models/inference.py) sorts the padded
+    detection slots valid-first across the flattened batch x slot axis
+    (image-major within the live block — a stable sort of the per-image
+    front-compacted validity masks) and runs per-ROI compute only on the
+    first ``total`` rows. This entry aligns exactly those rows: on TPU the
+    compact Pallas VMEM kernel skips every row at or beyond ``total`` (cost
+    is O(total), not O(N)) and writes the pooled features already
+    compacted; rows at index >= total return zeros.
+
+    Args:
+      boxes: [N, 6] normalized ROIs, image-grouped, live rows first.
+      batch_idx: [N] int32 source image per ROI.
+      total: [] int32 count of live leading rows (traced value).
+      image_meta: [B, META]; feature_maps: 4 x [B, H_l, W_l, D_l, C].
+      pool_size: static int (or (p, p, p)).
+      interpret: force the Pallas path in interpret mode (tests).
+
+    Returns [N, p, p, p, C] in the features' dtype (Pallas path) or f32
+    (gather fallback). Not differentiable (stop_gradient on boxes; the
+    reference stops ROIAlign box gradients too, core/models.py:660-661).
+    """
+    if isinstance(pool_size, (tuple, list)):
+        assert len(set(pool_size)) == 1, pool_size
+        pool_size = pool_size[0]
+    p = int(pool_size)
+
+    batch_idx = jnp.asarray(batch_idx, jnp.int32)
+    n = boxes.shape[0]
+    c = feature_maps[0].shape[-1]
+    sanitized, levels = _sanitize_flat_rois(
+        boxes, batch_idx, image_meta, len(feature_maps))
+
+    row_live = jnp.arange(n, dtype=jnp.int32) < jnp.asarray(total, jnp.int32)
+    mask5 = row_live[:, None, None, None, None]
+
+    ck = min(c, 128)
+    itemsize = jnp.dtype(feature_maps[0].dtype).itemsize
+    vm_bytes = sum(
+        int(np.prod(fm.shape[1:4])) * ck * itemsize for fm in feature_maps
+    )
+    use_pallas = (
+        method == "trilinear" and c % 128 == 0
+        and vm_bytes <= 12 * 1024 * 1024
+        and (interpret or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        from m3d.ops.pallas_roialign import (
+            pallas_pyramid_roi_align_vmem_compact)
+
+        # Same prep as the VMEM branch of pyramid_roi_align_pallas: pad
+        # depths to whole sublane tiles, dense full-extent weights.
+        d_req = {1: 4, 2: 2}.get(itemsize, 1)
+        fms = [
+            jnp.pad(fm, [(0, 0)] * 3 + [(0, (-fm.shape[3]) % d_req), (0, 0)])
+            if fm.shape[3] % d_req else fm
+            for fm in feature_maps
+        ]
+        dims = jnp.asarray([fm.shape[1:4] for fm in feature_maps], jnp.int32)
+        rd = dims[levels]
+        hy = rd[:, 0].astype(jnp.float32)
+        wx_d = rd[:, 1].astype(jnp.float32)
+        dz = rd[:, 2].astype(jnp.float32)
+        pos_y = _axis_positions(sanitized[:, 0], sanitized[:, 3], hy, p)
+        pos_x = _axis_positions(sanitized[:, 1], sanitized[:, 4], wx_d, p)
+        pos_z = _axis_positions(sanitized[:, 2], sanitized[:, 5], dz, p)
+        h_max = max(fm.shape[1] for fm in fms)
+        w_max = max(fm.shape[2] for fm in fms)
+        d_max = max(fm.shape[3] for fm in fms)
+        _, wy = _axis_slab_weights(pos_y, hy, h_max,
+                                   origin_dim=jnp.full_like(hy, h_max))
+        _, wx = _axis_slab_weights(pos_x, wx_d, w_max,
+                                   origin_dim=jnp.full_like(wx_d, w_max))
+        _, wz = _axis_slab_weights(pos_z, dz, d_max,
+                                   origin_dim=jnp.full_like(dz, d_max))
+        out = pallas_pyramid_roi_align_vmem_compact(
+            levels, batch_idx, total, wy, wx, wz, fms, p,
+            interpret=interpret)
+        # Skipped rows hold stale VMEM garbage — mask, plus the NaN scrub.
+        return jnp.where(
+            jnp.logical_and(jnp.isfinite(out), mask5),
+            out, jnp.zeros((), out.dtype))
+
+    # XLA gather fallback (CPU / non-trilinear / narrow channels / pyramids
+    # too big for VMEM residency): computes every row, masks the dead ones.
+    out = pyramid_roi_align_flat(
+        sanitized, batch_idx, image_meta, feature_maps, p, method=method)
+    return jnp.where(mask5, out, 0.0)

@@ -12,6 +12,7 @@ weight set detects. Uses the chained-scan slope methodology (see bench.py).
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_adaptive.py
 """
 
+import sys
 import time
 
 import numpy as np
@@ -27,6 +28,7 @@ from m3d.config import Config  # noqa: E402
 from m3d.image_meta import default_meta  # noqa: E402
 from m3d.models.detection import refine_detections_batch  # noqa: E402
 from m3d.models.inference import (chunked_roi_stage,  # noqa: E402
+                                  compacted_classifier_stage,
                                   compacted_mask_stage)
 from m3d.models.mask_rcnn import MaskRCNN, init_params  # noqa: E402
 
@@ -61,7 +63,9 @@ def chain_time(name, step, x0, *consts, n_lo=3, n_hi=12):
     return dt
 
 
-def main():
+def main(only: str | None = None):
+    """only: run a single sweep section ('mono', 'mask', 'cls', 'compactmask',
+    'compactcls'); None runs everything."""
     batch = 4
     cfg = Config(
         IMAGE_SIZE=128, IMAGE_DEPTH=128,
@@ -115,24 +119,31 @@ def main():
             masks = maskfn(det[..., :6])
         return det, masks
 
-    base = chain_time(
-        "monolithic", lambda c, img, v: pipeline(v, img + c), image,
-        variables)
+    def want(section):
+        return only is None or only == section
 
-    for cnt in (0, 10, 20, 30, 50):
-        chain_time(
-            f"mask C=10 count={cnt}",
-            lambda c, img, v, cnt=cnt: pipeline(
-                v, img + c, mask_chunk=10, mask_count=cnt),
-            image, variables)
+    base = None
+    if want("mono"):
+        base = chain_time(
+            "monolithic", lambda c, img, v: pipeline(v, img + c), image,
+            variables)
 
-    for cnt in (125, 250, 500):
-        chain_time(
-            f"cls C=125 count={cnt} + mask C=10 count=20",
-            lambda c, img, v, cnt=cnt: pipeline(
-                v, img + c, cls_chunk=125, cls_count=cnt,
-                mask_chunk=10, mask_count=20),
-            image, variables)
+    if want("mask"):
+        for cnt in (0, 10, 20, 30, 50):
+            chain_time(
+                f"mask C=10 count={cnt}",
+                lambda c, img, v, cnt=cnt: pipeline(
+                    v, img + c, mask_chunk=10, mask_count=cnt),
+                image, variables)
+
+    if want("cls"):
+        for cnt in (125, 250, 500):
+            chain_time(
+                f"cls C=125 count={cnt} + mask C=10 count=20",
+                lambda c, img, v, cnt=cnt: pipeline(
+                    v, img + c, cls_chunk=125, cls_count=cnt,
+                    mask_chunk=10, mask_count=20),
+                image, variables)
 
     # Compacted mask stage: gate on the TOTAL valid count across the batch
     # (det_valid forced to the first `total` flat slots — cost-equivalent to
@@ -163,16 +174,59 @@ def main():
     # vs the per-image path's [4,10]=batch-40 chunks (0.455 vs 0.356 ms/ROI
     # slope). C=40/50 match per-chunk utilization while gating on the batch
     # total.
-    for chunk, totals in ((40, (0, 80, 112, 160, 200)), (50, (112, 200))):
-        for total in totals:
-            chain_time(
-                f"compact mask C={chunk} total={total}",
-                lambda c, img, v, total=total, chunk=chunk: pipeline_compact(
-                    v, img + c, total, chunk),
-                image, variables)
+    if want("compactmask"):
+        for chunk, totals in ((40, (0, 80, 112, 160, 200)),
+                              (50, (112, 200))):
+            for total in totals:
+                chain_time(
+                    f"compact mask C={chunk} total={total}",
+                    lambda c, img, v, total=total,
+                    chunk=chunk: pipeline_compact(v, img + c, total, chunk),
+                    image, variables)
 
-    print(f"baseline {base*1e3:.2f} ms -> vol/s = {batch/base:.2f}")
+    # Compacted classifier stage (the product path since it landed): flat
+    # valid-first proposal compaction gated on the batch TOTAL. Mask stage
+    # fixed at the trained-workload occupancy (compact C=40 total=186,
+    # bench.py measured [50,50,43,43] detections) so the classifier curve
+    # is read against a realistic downstream cost.
+    npr = int(cfg.POST_NMS_ROIS_INFERENCE)
+
+    def pipeline_compact_cls(v, img, cls_total, cls_chunk):
+        feats = model.apply(v, img, method=MaskRCNN.extract_features)
+        _, probs, deltas = model.apply(v, list(feats),
+                                       method=MaskRCNN.rpn_forward)
+        props, _ = model.apply(v, probs, deltas, anchors,
+                               method=MaskRCNN.propose)
+        mf = list(feats[:4])
+        forced_p = (jnp.arange(batch * npr, dtype=jnp.int32)
+                    < cls_total).reshape(batch, npr)
+        _, cprobs, cbbox = compacted_classifier_stage(
+            model, v, props, forced_p, meta, mf, chunk=cls_chunk)
+        det, _ = refine_detections_batch(
+            props, cprobs, cbbox, meta, bsd,
+            cfg.DETECTION_MIN_CONFIDENCE, cfg.DETECTION_NMS_THRESHOLD, nmax)
+        forced_d = (jnp.arange(batch * nmax, dtype=jnp.int32)
+                    < 186).reshape(batch, nmax)
+        masks = compacted_mask_stage(model, v, det, forced_d, meta, mf,
+                                     chunk=40)
+        return det, masks
+
+    if want("compactcls"):
+        for chunk, totals in ((125, (2000, 1000, 500)),
+                              (250, (2000, 500)),
+                              (500, (2000,))):
+            for total in totals:
+                chain_time(
+                    f"compact cls C={chunk} total={total} "
+                    f"+ compact mask C=40 total=186",
+                    lambda c, img, v, total=total,
+                    chunk=chunk: pipeline_compact_cls(
+                        v, img + c, total, chunk),
+                    image, variables)
+
+    if base is not None:
+        print(f"baseline {base*1e3:.2f} ms -> vol/s = {batch/base:.2f}")
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

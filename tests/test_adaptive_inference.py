@@ -99,6 +99,14 @@ def test_adaptive_matches_monolithic(built, cls_chunk, mask_chunk):
     for b in range(pv.shape[0]):
         c = int(pv[b].sum())
         np.testing.assert_allclose(pa[b, :c], pf[b, :c], rtol=1e-4, atol=1e-5)
+    # Classifier compacted semantics: flat valid-first ranks beyond the
+    # last active chunk are exactly zero (skipped chunks).
+    flat_pv = pv.reshape(-1)
+    cperm = np.argsort(~flat_pv, kind="stable")
+    cboundary = -(-int(flat_pv.sum()) // cls_chunk) * cls_chunk
+    probs_flat = pa.reshape((-1,) + pa.shape[2:])
+    if cboundary < flat_pv.size:
+        assert (probs_flat[cperm[cboundary:]] == 0).all()
 
 
 def test_adaptive_zero_detections(built):
