@@ -939,7 +939,7 @@ def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
 def _sanitize_flat_rois(boxes, batch_idx, image_meta, num_levels):
     """Shared prep for the flat-ROI-list entries: stop-gradient + the same
     box sanitation as pyramid_roi_align (per-ROI source-image dims from
-    image_meta) + pyramid level routing. Returns (boxes, levels, shp)."""
+    image_meta) + pyramid level routing. Returns (boxes, levels)."""
     meta = parse_image_meta(image_meta)
     image_shape = meta["image_shape"]                    # [B, >=3]
     boxes = jax.lax.stop_gradient(jnp.asarray(boxes, jnp.float32))
