@@ -1,0 +1,95 @@
+"""Serving bundles (m3d/serve.py): export -> load -> predict round trip.
+
+The exported StableHLO graph must reproduce the in-process inference graph
+exactly, reject wrong-shape inputs, and carry a manifest that rebuilds the
+calling convention without the model code.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+# Export traces + multi-platform-lowers the full inference graph (~1 min);
+# the fast tier's <5 min budget has no room for it.
+pytestmark = pytest.mark.slow
+
+from m3d.anchors import normalized_pyramid_anchors
+from m3d.config import Config
+from m3d.image_meta import default_meta
+from m3d.models.mask_rcnn import MaskRCNN
+from m3d.serve import ServingBundle, export_bundle
+
+
+def tiny_config():
+    return Config(
+        IMAGE_SIZE=64,
+        IMAGE_DEPTH=8,
+        NUM_CLASSES=2,
+        BACKBONE="resnet50",
+        BACKBONE_STRIDES=[(4, 4, 1), (8, 8, 1), (16, 16, 1), (32, 32, 1),
+                          (64, 64, 1)],
+        RPN_ANCHOR_SCALES=(8, 16, 24, 32, 48),
+        RPN_ANCHOR_RATIOS=[0.5, 1.0],
+        PRE_NMS_LIMIT=512,
+        POST_NMS_ROIS_INFERENCE=64,
+        DETECTION_MAX_INSTANCES=8,
+        DETECTION_MIN_CONFIDENCE=0.01,
+        POOL_SIZE=7,
+        MASK_POOL_SIZE=14,
+        FPN_CLASSIF_FC_LAYERS_SIZE=64,
+        HEAD_CONV_CHANNEL=32,
+        TOP_DOWN_PYRAMID_SIZE=32,
+        COMPUTE_DTYPE="float32",
+    )
+
+
+@pytest.fixture(scope="module")
+def bundle_dir(tmp_path_factory):
+    cfg = tiny_config()
+    model = MaskRCNN.from_config(cfg, mode="inference")
+    image = np.random.RandomState(3).randn(2, 64, 64, 8, 1).astype(np.float32)
+    anchors = normalized_pyramid_anchors(cfg)
+    meta = np.tile(default_meta(cfg)[None], (2, 1))
+    variables = model.init(jax.random.PRNGKey(0), image[:1], meta[:1],
+                           anchors)
+    out_dir = str(tmp_path_factory.mktemp("bundle"))
+    # Multi-platform lowering: the same artifact must serve CPU and TPU.
+    manifest = export_bundle(cfg, variables, out_dir, batch=2,
+                             platforms=("cpu", "tpu"))
+    return cfg, model, variables, image, meta, anchors, out_dir, manifest
+
+
+def test_export_and_load(bundle_dir):
+    cfg, _model, _vars, image, _meta, _anchors, out_dir, manifest = bundle_dir
+    assert manifest["format"] == "m3d-serving-bundle-v1"
+    assert manifest["image_shape"] == [64, 64, 8, 1]
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    # POST_NMS 64 / max-instances 8 are below the adaptive thresholds: the
+    # bundle bakes the monolithic graph.
+    assert manifest["chunks"] == {"classifier": None, "mask": None}
+
+    loaded = ServingBundle.load(out_dir)
+    assert loaded.manifest["batch"] == 2
+    assert loaded.default_meta().shape == (2, cfg.IMAGE_META_SIZE)
+    # Shape guard fires BEFORE any device work.
+    with pytest.raises(ValueError, match="shape-frozen"):
+        loaded.predict(image[:1])
+    with pytest.raises(ValueError, match="shape-frozen"):
+        loaded.predict(np.zeros((2, 64, 64, 16, 1), np.float32))
+
+
+def test_predict_matches_inprocess(bundle_dir):
+    cfg, model, variables, image, meta, anchors, out_dir, _ = bundle_dir
+    loaded = ServingBundle.load(out_dir)
+    out = loaded.predict(image)
+    full = jax.device_get(model.apply(variables, image, meta, anchors))
+    np.testing.assert_array_equal(out["detections_valid"],
+                                  np.asarray(full["detections_valid"]))
+    np.testing.assert_allclose(out["detections"],
+                               np.asarray(full["detections"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["mrcnn_masks"],
+                               np.asarray(full["mrcnn_masks"]),
+                               rtol=1e-4, atol=1e-5)
+    assert np.asarray(full["detections_valid"]).sum() > 0
