@@ -37,8 +37,15 @@ import numpy as np
 __all__ = ["export_bundle", "ServingBundle"]
 
 
-def _inference_fn(config, batch: int):
-    """Build (infer, model): infer(variables, image, image_meta) -> dict."""
+def _inference_fn(config, batch: int, monolithic_default: bool = False):
+    """Build (infer, chunks): infer(variables, image, image_meta) -> dict.
+
+    ``monolithic_default``: suppress the adaptive-chunk auto defaults (used
+    for data-parallel exports — the compacted stages sort ROIs across the
+    whole batch, which would all-gather the feature pyramid across shards;
+    the per-image monolithic graph shards cleanly). Explicit
+    CLASSIFIER_CHUNK / MASK_CHUNK config keys still win.
+    """
     from m3d.anchors import normalized_pyramid_anchors
     from m3d.models.inference import adaptive_inference, chunks_from_config
     from m3d.models.mask_rcnn import MaskRCNN
@@ -46,6 +53,10 @@ def _inference_fn(config, batch: int):
     model = MaskRCNN.from_config(config, mode="inference")
     anchors = normalized_pyramid_anchors(config)
     cls_chunk, mask_chunk = chunks_from_config(config, model)
+    if monolithic_default:
+        cls_chunk = (int(getattr(config, "CLASSIFIER_CHUNK", 0) or 0)
+                     or None)
+        mask_chunk = int(getattr(config, "MASK_CHUNK", 0) or 0) or None
 
     def infer(variables, image, image_meta):
         return adaptive_inference(
@@ -57,18 +68,29 @@ def _inference_fn(config, batch: int):
 
 
 def export_bundle(config, variables, out_dir: str, batch: int = 1,
-                  platforms=("cpu", "tpu")) -> dict[str, Any]:
+                  platforms=("cpu", "tpu"),
+                  data_parallel: int | None = None) -> dict[str, Any]:
     """Export an AOT serving bundle for the given config + trained params.
 
     Returns the manifest dict. ``variables`` is the full inference variable
     collection (as produced by init_params + restore_by_name).
+
+    ``data_parallel``: export the graph SHARDED over an n-device mesh —
+    the batch axis of inputs/outputs is partitioned over the mesh's
+    ``data`` axis and weights are replicated, exactly the serving-side
+    analog of the training mesh (m3d/parallel/mesh.py). The exported
+    artifact records the device count; loading requires >= n local
+    devices. ``batch`` must divide by n.
     """
     import jax
     from jax import export as jax_export
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from m3d.train.checkpoints import save_params
 
-    infer, (cls_chunk, mask_chunk) = _inference_fn(config, batch)
+    infer, (cls_chunk, mask_chunk) = _inference_fn(
+        config, batch,
+        monolithic_default=bool(data_parallel and int(data_parallel) > 1))
 
     H, W, D, C = (int(v) for v in config.IMAGE_SHAPE)
     img_sds = jax.ShapeDtypeStruct((batch, H, W, D, C), np.float32)
@@ -78,8 +100,32 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
         lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
         variables)
 
+    if data_parallel and int(data_parallel) > 1:
+        n = int(data_parallel)
+        if batch % n:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"data_parallel {n}")
+        if len(jax.devices()) < n:
+            raise ValueError(f"data_parallel={n} needs {n} local devices "
+                             f"to trace the sharded export, "
+                             f"have {len(jax.devices())}")
+        from m3d.parallel.mesh import make_mesh
+
+        mesh = make_mesh(devices=jax.devices()[:n])
+        repl = NamedSharding(mesh, P())
+        split = NamedSharding(mesh, P("data"))
+        jitted = jax.jit(
+            infer,
+            in_shardings=(jax.tree.map(lambda _: repl, var_sds),
+                          split, split),
+            out_shardings=split,  # every output is batch-leading
+        )
+    else:
+        n = 1
+        jitted = jax.jit(infer)
+
     exported = jax_export.export(
-        jax.jit(infer), platforms=tuple(platforms)
+        jitted, platforms=tuple(platforms)
     )(var_sds, img_sds, meta_sds)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -95,6 +141,7 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
         "meta_size": int(config.IMAGE_META_SIZE),
         "platforms": list(platforms),
         "chunks": {"classifier": cls_chunk, "mask": mask_chunk},
+        "data_parallel": n,
         "jax_version": jax.__version__,
         "output_keys": ["detections", "detections_valid", "mrcnn_masks",
                         "mrcnn_probs", "mrcnn_bbox", "proposals",
@@ -117,8 +164,24 @@ class ServingBundle:
         import jax
 
         self._exported = exported
-        self._variables = jax.device_put(variables)
         self.manifest = manifest
+        n = int(manifest.get("data_parallel", 1))
+        if n > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from m3d.parallel.mesh import make_mesh
+
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"bundle was exported data_parallel={n}; only "
+                    f"{len(jax.devices())} local devices available")
+            self._mesh = make_mesh(devices=jax.devices()[:n])
+            self._split = NamedSharding(self._mesh, P("data"))
+            variables = jax.device_put(
+                variables, NamedSharding(self._mesh, P()))
+        else:
+            self._mesh = self._split = None
+        self._variables = jax.device_put(variables)
         self._call = jax.jit(exported.call)
 
     @classmethod
@@ -156,6 +219,11 @@ class ServingBundle:
                 f"for other shapes")
         if image_meta is None:
             image_meta = self.default_meta()
-        out = self._call(self._variables, image,
-                         np.asarray(image_meta, np.float32))
+        image_meta = np.asarray(image_meta, np.float32)
+        if self._split is not None:
+            import jax
+
+            image = jax.device_put(image, self._split)
+            image_meta = jax.device_put(image_meta, self._split)
+        out = self._call(self._variables, image, image_meta)
         return {k: np.asarray(v) for k, v in out.items()}

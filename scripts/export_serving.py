@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering targets")
+    ap.add_argument("--data_parallel", type=int, default=0,
+                    help="export sharded over an n-device data mesh "
+                         "(batch must divide by n; load needs n devices)")
     args = ap.parse_args()
 
     import jax
@@ -49,9 +52,11 @@ def main():
 
     manifest = export_bundle(
         config, variables, args.out, batch=args.batch,
-        platforms=tuple(p.strip() for p in args.platforms.split(",")))
+        platforms=tuple(p.strip() for p in args.platforms.split(",")),
+        data_parallel=args.data_parallel or None)
     print(f"bundle written to {args.out} "
-          f"(chunks={manifest['chunks']}, platforms={manifest['platforms']})")
+          f"(chunks={manifest['chunks']}, platforms={manifest['platforms']}, "
+          f"data_parallel={manifest['data_parallel']})")
 
 
 if __name__ == "__main__":

@@ -79,6 +79,36 @@ def test_export_and_load(bundle_dir):
         loaded.predict(np.zeros((2, 64, 64, 16, 1), np.float32))
 
 
+def test_sharded_export_matches_single_device(bundle_dir, tmp_path):
+    """Data-parallel bundle: batch sharded over the 8-device CPU mesh must
+    reproduce the single-device graph bit-for-bat... well, to fp tolerance
+    (per-image pipeline; weights replicated, no cross-image coupling in the
+    monolithic graph the dp export bakes)."""
+    cfg, model, variables, image, _meta, anchors, _dir, _ = bundle_dir
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    out_dir = str(tmp_path / "bundle_dp")
+    manifest = export_bundle(cfg, variables, out_dir, batch=8,
+                             platforms=("cpu",), data_parallel=8)
+    assert manifest["data_parallel"] == 8
+    # dp exports default to the per-image monolithic graph (the compacted
+    # stages would couple shards).
+    assert manifest["chunks"] == {"classifier": None, "mask": None}
+
+    loaded = ServingBundle.load(out_dir)
+    image8 = np.concatenate([image] * 4, axis=0)
+    out = loaded.predict(image8)
+
+    from m3d.image_meta import default_meta as dm
+    meta8 = np.tile(dm(cfg)[None], (8, 1))
+    full = jax.device_get(model.apply(variables, image8, meta8, anchors))
+    np.testing.assert_array_equal(out["detections_valid"],
+                                  np.asarray(full["detections_valid"]))
+    np.testing.assert_allclose(out["detections"],
+                               np.asarray(full["detections"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_predict_matches_inprocess(bundle_dir):
     cfg, model, variables, image, meta, anchors, out_dir, _ = bundle_dir
     loaded = ServingBundle.load(out_dir)
