@@ -34,10 +34,12 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["export_bundle", "ServingBundle"]
+__all__ = ["export_bundle", "export_bucketed", "ServingBundle",
+           "ServingRouter"]
 
 
-def _inference_fn(config, batch: int, monolithic_default: bool = False):
+def _inference_fn(config, batch: int, monolithic_default: bool = False,
+                  image_shape=None):
     """Build (infer, chunks): infer(variables, image, image_meta) -> dict.
 
     ``monolithic_default``: suppress the adaptive-chunk auto defaults (used
@@ -45,13 +47,21 @@ def _inference_fn(config, batch: int, monolithic_default: bool = False):
     whole batch, which would all-gather the feature pyramid across shards;
     the per-image monolithic graph shards cleanly). Explicit
     CLASSIFIER_CHUNK / MASK_CHUNK config keys still win.
+
+    ``image_shape``: (H, W, D) override of the config's nominal shape —
+    the model graph is shape-polymorphic (anchors ride as a baked constant
+    computed for this shape), so bucketed exports reuse one config.
     """
     from m3d.anchors import normalized_pyramid_anchors
     from m3d.models.inference import adaptive_inference, chunks_from_config
     from m3d.models.mask_rcnn import MaskRCNN
 
     model = MaskRCNN.from_config(config, mode="inference")
-    anchors = normalized_pyramid_anchors(config)
+    # voxel_z_over_y matches the trainers' anchor construction
+    # (m3d/train/mrcnn.py:70-72).
+    anchors = normalized_pyramid_anchors(
+        config, image_shape=image_shape,
+        voxel_z_over_y=float(getattr(config, "VOXEL_Z_OVER_Y", 1.0)))
     cls_chunk, mask_chunk = chunks_from_config(config, model)
     if monolithic_default:
         cls_chunk = (int(getattr(config, "CLASSIFIER_CHUNK", 0) or 0)
@@ -69,7 +79,8 @@ def _inference_fn(config, batch: int, monolithic_default: bool = False):
 
 def export_bundle(config, variables, out_dir: str, batch: int = 1,
                   platforms=("cpu", "tpu"),
-                  data_parallel: int | None = None) -> dict[str, Any]:
+                  data_parallel: int | None = None,
+                  image_shape=None) -> dict[str, Any]:
     """Export an AOT serving bundle for the given config + trained params.
 
     Returns the manifest dict. ``variables`` is the full inference variable
@@ -90,9 +101,14 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
 
     infer, (cls_chunk, mask_chunk) = _inference_fn(
         config, batch,
-        monolithic_default=bool(data_parallel and int(data_parallel) > 1))
+        monolithic_default=bool(data_parallel and int(data_parallel) > 1),
+        image_shape=image_shape)
 
-    H, W, D, C = (int(v) for v in config.IMAGE_SHAPE)
+    if image_shape is None:
+        H, W, D, C = (int(v) for v in config.IMAGE_SHAPE)
+    else:
+        H, W, D = (int(v) for v in image_shape[:3])
+        C = int(config.IMAGE_SHAPE[3])
     img_sds = jax.ShapeDtypeStruct((batch, H, W, D, C), np.float32)
     meta_sds = jax.ShapeDtypeStruct(
         (batch, int(config.IMAGE_META_SIZE)), np.float32)
@@ -200,13 +216,15 @@ class ServingBundle:
         return cls(exported, variables, manifest)
 
     def default_meta(self) -> np.ndarray:
-        """Meta batch for unpadded volumes of the bundle's nominal shape."""
-        from m3d.config import Config
-        from m3d.image_meta import default_meta
+        """Meta batch for unpadded volumes of the bundle's exported shape
+        (which may be a bucket override of the config's nominal shape)."""
+        from m3d.image_meta import compose_image_meta
 
-        cfg = Config(**self.manifest["config"])
-        return np.tile(default_meta(cfg)[None],
-                       (int(self.manifest["batch"]), 1))
+        H, W, D, C = (int(v) for v in self.manifest["image_shape"])
+        ncls = int(self.manifest["config"]["NUM_CLASSES"])
+        meta = compose_image_meta(0, (H, W, D, C), (H, W, D, C),
+                                  (0, 0, 0, H, W, D), 1.0, [1] * ncls)
+        return np.tile(meta[None], (int(self.manifest["batch"]), 1))
 
     def predict(self, image, image_meta=None) -> dict[str, np.ndarray]:
         image = np.asarray(image, np.float32)
@@ -227,3 +245,105 @@ class ServingBundle:
             image_meta = jax.device_put(image_meta, self._split)
         out = self._call(self._variables, image, image_meta)
         return {k: np.asarray(v) for k, v in out.items()}
+
+
+def export_bucketed(config, variables, out_dir: str, volume_shapes,
+                    batch: int = 1, **export_kw) -> dict[str, Any]:
+    """Export one sub-bundle per compile bucket for variable-size serving.
+
+    ``volume_shapes``: iterable of raw (H, W, D) volume shapes the service
+    will see. Each rounds UP to its compile bucket (m3d/anchors.py
+    bucket_image_shape — the runtime analog is the bucketed prediction
+    input, m3d/data/generators.py get_input_prediction) and duplicates
+    collapse, so N heterogeneous stacks cost only as many exports as there
+    are distinct buckets. The reference instead re-patches datasets offline
+    to one fixed shape.
+
+    Writes ``router.json`` + one bundle directory per bucket; returns the
+    router manifest. Extra kwargs go to export_bundle (platforms,
+    data_parallel).
+    """
+    from m3d.anchors import bucket_image_shape
+
+    buckets = sorted({bucket_image_shape(s) for s in volume_shapes})
+    os.makedirs(out_dir, exist_ok=True)
+    entries = {}
+    for (h, w, d) in buckets:
+        key = f"{h}x{w}x{d}"
+        sub = os.path.join(out_dir, f"bucket_{key}")
+        export_bundle(config, variables, sub, batch=batch,
+                      image_shape=(h, w, d), **export_kw)
+        entries[key] = os.path.basename(sub)
+    router = {
+        "format": "m3d-serving-router-v1",
+        "buckets": entries,
+        "batch": batch,
+        "num_classes": int(config.NUM_CLASSES),
+    }
+    with open(os.path.join(out_dir, "router.json"), "w") as f:
+        json.dump(router, f, indent=1)
+    return router
+
+
+class ServingRouter:
+    """Variable-size serving: route raw volumes to their bucket's bundle.
+
+    ``predict_volume(volume)`` takes ONE raw [H, W, D] or [H, W, D, C]
+    volume (already normalized like the training data), zero-pads it up to
+    its compile bucket, composes image_meta whose window carries the true
+    extent (so downstream unmolding can crop back — same contract as
+    m3d/data/generators.py get_input_prediction), and runs the bucket's
+    bundle. Sub-bundles load lazily and are cached.
+    """
+
+    def __init__(self, path: str, router: dict):
+        self._path = path
+        self.router = router
+        self._bundles: dict[str, ServingBundle] = {}
+
+    @classmethod
+    def load(cls, path: str) -> "ServingRouter":
+        with open(os.path.join(path, "router.json")) as f:
+            router = json.load(f)
+        if router.get("format") != "m3d-serving-router-v1":
+            raise ValueError(f"not a serving router: {path}")
+        return cls(path, router)
+
+    def _bundle(self, key: str) -> ServingBundle:
+        if key not in self._bundles:
+            sub = self.router["buckets"].get(key)
+            if sub is None:
+                raise ValueError(
+                    f"no bundle for bucket {key}; available: "
+                    f"{sorted(self.router['buckets'])} — re-run "
+                    f"export_bucketed with this shape included")
+            self._bundles[key] = ServingBundle.load(
+                os.path.join(self._path, sub))
+        return self._bundles[key]
+
+    def predict_volume(self, volume, image_id: int = 0):
+        """Returns (outputs dict, meta row) — meta carries the true-extent
+        window for unmolding."""
+        from m3d.anchors import bucket_image_shape
+        from m3d.image_meta import compose_image_meta
+
+        volume = np.asarray(volume, np.float32)
+        if volume.ndim == 3:
+            volume = volume[..., None]
+        if volume.ndim != 4:
+            raise ValueError(f"expected [H,W,D] or [H,W,D,C] volume, "
+                             f"got {volume.shape}")
+        H, W, D, C = volume.shape
+        bh, bw, bd = bucket_image_shape((H, W, D))
+        if (bh, bw, bd) != (H, W, D):
+            volume = np.pad(
+                volume, [(0, bh - H), (0, bw - W), (0, bd - D), (0, 0)])
+        bundle = self._bundle(f"{bh}x{bw}x{bd}")
+        batch = int(bundle.manifest["batch"])
+        meta = compose_image_meta(
+            image_id, (H, W, D, C), (bh, bw, bd, C), (0, 0, 0, H, W, D),
+            1.0, [1] * int(self.router["num_classes"]))
+        out = bundle.predict(
+            np.tile(volume[None], (batch, 1, 1, 1, 1)),
+            np.tile(meta[None], (batch, 1)))
+        return {k: v[:1] for k, v in out.items()}, meta

@@ -18,7 +18,8 @@ from m3d.anchors import normalized_pyramid_anchors
 from m3d.config import Config
 from m3d.image_meta import default_meta
 from m3d.models.mask_rcnn import MaskRCNN
-from m3d.serve import ServingBundle, export_bundle
+from m3d.serve import (ServingBundle, ServingRouter, export_bucketed,
+                       export_bundle)
 
 
 def tiny_config():
@@ -107,6 +108,38 @@ def test_sharded_export_matches_single_device(bundle_dir, tmp_path):
     np.testing.assert_allclose(out["detections"],
                                np.asarray(full["detections"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bucketed_router_variable_sizes(bundle_dir, tmp_path):
+    """export_bucketed collapses shapes into compile buckets; the router
+    pads a raw volume up to its bucket, carries the true extent in the meta
+    window, and reproduces the in-process graph on the padded input."""
+    cfg, model, variables, _image, _meta, anchors, _dir, _ = bundle_dir
+    out_dir = str(tmp_path / "router")
+    router_manifest = export_bucketed(
+        cfg, variables, out_dir,
+        volume_shapes=[(48, 48, 6), (64, 64, 8), (40, 62, 8)],
+        batch=1, platforms=("cpu",))
+    # All three raw shapes round up to ONE 64x64x8 bucket -> one export.
+    assert list(router_manifest["buckets"]) == ["64x64x8"]
+
+    router = ServingRouter.load(out_dir)
+    vol = np.random.RandomState(11).randn(48, 48, 6).astype(np.float32)
+    out, meta = router.predict_volume(vol)
+    assert out["detections"].shape[0] == 1
+    np.testing.assert_array_equal(meta[9:15], [0, 0, 0, 48, 48, 6])
+
+    padded = np.pad(vol, [(0, 16), (0, 16), (0, 2)])[None, ..., None]
+    full = jax.device_get(
+        model.apply(variables, padded, meta[None], anchors))
+    np.testing.assert_array_equal(out["detections_valid"],
+                                  np.asarray(full["detections_valid"]))
+    np.testing.assert_allclose(out["detections"],
+                               np.asarray(full["detections"]),
+                               rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="no bundle for bucket"):
+        router.predict_volume(np.zeros((128, 128, 8), np.float32))
 
 
 def test_predict_matches_inprocess(bundle_dir):
