@@ -347,3 +347,35 @@ class ServingRouter:
             np.tile(volume[None], (batch, 1, 1, 1, 1)),
             np.tile(meta[None], (batch, 1)))
         return {k: v[:1] for k, v in out.items()}, meta
+
+    def segment_volume(self, volume, image_id: int = 0):
+        """Full product postprocess for one raw volume: route + predict,
+        then the reference's unmold/filter cascade shared with the eval
+        loop (m3d/utils/unmold.py postprocess_detections) and label-volume
+        painting. Thresholds come from the bundle's config snapshot.
+
+        Returns a dict: label_volume [H,W,D] uint16, boxes_px [K,6],
+        class_ids [K], scores [K], masks [H,W,D,K] bool.
+        """
+        from m3d.utils.unmold import (instances_to_label_volume,
+                                      postprocess_detections)
+
+        out, meta = self.predict_volume(volume, image_id=image_id)
+        cfg = self._bundle(
+            f"{int(meta[5])}x{int(meta[6])}x{int(meta[7])}"
+        ).manifest["config"]
+        boxes_px, class_ids, scores, masks = postprocess_detections(
+            out["detections"][0], out["mrcnn_masks"][0],
+            padded_shape=meta[5:8], original_shape=meta[1:4],
+            min_confidence=float(cfg["DETECTION_MIN_CONFIDENCE"]),
+            min_roi_size=float(cfg.get("MIN_ROI_SIZE", 0.0)),
+            nms_threshold=float(cfg["DETECTION_NMS_THRESHOLD"]),
+            max_instances=int(cfg["DETECTION_MAX_INSTANCES"]),
+        )
+        return {
+            "label_volume": instances_to_label_volume(masks, scores),
+            "boxes_px": boxes_px,
+            "class_ids": class_ids,
+            "scores": scores,
+            "masks": masks,
+        }

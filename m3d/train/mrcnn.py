@@ -42,7 +42,7 @@ from m3d.train.optim import (EarlyStopping, ReduceLROnPlateau,
                              get_learning_rate, set_learning_rate)
 from m3d.train.telemetry import Telemetry
 from m3d.utils.metrics import compute_overlaps_masks
-from m3d.utils.unmold import unmold_detections
+from m3d.utils.unmold import postprocess_detections
 
 
 def _freeze_predicate(learning_layers: str):
@@ -338,44 +338,18 @@ class MrcnnTrainer:
             H, W, D = (int(v) for v in cfg.IMAGE_SHAPE[:3])
             PH, PW, PD = H, W, D
 
-        boxes_px, class_ids, scores, masks = unmold_detections(
-            out["detections"][0], out["mrcnn_masks"][0], (PH, PW, PD)
+        # Unmold at the bucket shape, crop to the true window, then the
+        # reference's confidence -> volume -> host-NMS cascade
+        # (core/models.py:6911-6991) — shared with serving
+        # (m3d/utils/unmold.py postprocess_detections).
+        boxes_px, class_ids, scores, masks = postprocess_detections(
+            out["detections"][0], out["mrcnn_masks"][0], (PH, PW, PD),
+            original_shape=(H, W, D),
+            min_confidence=float(cfg.DETECTION_MIN_CONFIDENCE),
+            min_roi_size=float(cfg.MIN_ROI_SIZE),
+            nms_threshold=float(cfg.DETECTION_NMS_THRESHOLD),
+            max_instances=int(cfg.DETECTION_MAX_INSTANCES),
         )
-        if (PH, PW, PD) != (H, W, D):
-            masks = masks[:H, :W, :D]
-            boxes_px = np.stack([
-                np.clip(boxes_px[:, 0], 0, H), np.clip(boxes_px[:, 1], 0, W),
-                np.clip(boxes_px[:, 2], 0, D), np.clip(boxes_px[:, 3], 0, H),
-                np.clip(boxes_px[:, 4], 0, W), np.clip(boxes_px[:, 5], 0, D),
-            ], axis=1) if len(boxes_px) else boxes_px
-
-        # Filter cascade (core/models.py:6911-6991): confidence, then volume,
-        # then host greedy NMS — the reference's final numpy NMS stage, which
-        # removes duplicate masks that survive the in-graph
-        # DETECTION_NMS_THRESHOLD when it is loose.
-        keep = scores >= float(cfg.DETECTION_MIN_CONFIDENCE)
-        vol = np.prod(
-            np.maximum(boxes_px[:, 3:] - boxes_px[:, :3], 0), axis=1)
-        keep &= vol >= float(cfg.MIN_ROI_SIZE)
-        boxes_px, class_ids, scores = (
-            boxes_px[keep], class_ids[keep], scores[keep])
-        masks = masks[..., keep]
-
-        if len(scores):
-            from m3d import native
-            from m3d.ops.nms3d import nms_3d_numpy
-
-            nms_thr = float(cfg.DETECTION_NMS_THRESHOLD)
-            max_out = int(cfg.DETECTION_MAX_INSTANCES)
-            b = boxes_px.astype(np.float32)
-            s = scores.astype(np.float32)
-            if native.available():
-                nms_keep = native.nms_3d_host(b, s, nms_thr, max_out)
-            else:
-                nms_keep = nms_3d_numpy(b, s, nms_thr, max_out)
-            boxes_px, class_ids, scores = (
-                boxes_px[nms_keep], class_ids[nms_keep], scores[nms_keep])
-            masks = masks[..., nms_keep]
 
         # GT
         gt_boxes, gt_class_ids, gt_masks = dataset.load_data(image_id)
@@ -420,9 +394,9 @@ class MrcnnTrainer:
             # (core/models.py:6313-6336, 7071-7087).
             from m3d.utils.tiffio import imwrite_volume
 
-            label_vol = np.zeros((H, W, D), np.uint8)
-            for i in range(masks.shape[-1]):
-                label_vol[masks[..., i]] = i + 1
+            from m3d.utils.unmold import instances_to_label_volume
+
+            label_vol = instances_to_label_volume(masks, scores)
             imwrite_volume(os.path.join(out_dir, f"{name}.tiff"),
                            np.transpose(label_vol, (2, 0, 1)))
             import csv

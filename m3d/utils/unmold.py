@@ -111,3 +111,77 @@ def unmold_detections(detections, mrcnn_masks, image_shape,
         masks[..., i] = unmold_small_3d_mask(crop, boxes_px[i],
                                              (H, W, D), mask_threshold)
     return boxes_px.round().astype(np.int32), class_ids, scores, masks
+
+
+def postprocess_detections(detections, mrcnn_masks, padded_shape,
+                           original_shape=None, *, min_confidence: float,
+                           min_roi_size: float, nms_threshold: float,
+                           max_instances: int):
+    """Full single-image prediction postprocess: unmold + filter cascade.
+
+    Unmolds at ``padded_shape`` (the compile bucket), crops back to
+    ``original_shape`` (the meta window's true extent) when given, then
+    applies the reference's evaluate-loop cascade (core/models.py:6911-6991):
+    confidence >= min_confidence, box volume >= min_roi_size, and host
+    greedy NMS at nms_threshold capped at max_instances — the final numpy
+    NMS stage that removes duplicate masks surviving a loose in-graph
+    DETECTION_NMS_THRESHOLD.
+
+    Returns (boxes_px [K,6], class_ids [K], scores [K], masks [H,W,D,K]).
+    """
+    PH, PW, PD = (int(v) for v in padded_shape[:3])
+    boxes_px, class_ids, scores, masks = unmold_detections(
+        detections, mrcnn_masks, (PH, PW, PD))
+    if original_shape is not None:
+        H, W, D = (int(v) for v in original_shape[:3])
+        if (PH, PW, PD) != (H, W, D):
+            masks = masks[:H, :W, :D]
+            if len(boxes_px):
+                boxes_px = np.stack([
+                    np.clip(boxes_px[:, 0], 0, H),
+                    np.clip(boxes_px[:, 1], 0, W),
+                    np.clip(boxes_px[:, 2], 0, D),
+                    np.clip(boxes_px[:, 3], 0, H),
+                    np.clip(boxes_px[:, 4], 0, W),
+                    np.clip(boxes_px[:, 5], 0, D),
+                ], axis=1)
+
+    keep = scores >= float(min_confidence)
+    vol = np.prod(np.maximum(boxes_px[:, 3:] - boxes_px[:, :3], 0), axis=1)
+    keep &= vol >= float(min_roi_size)
+    boxes_px, class_ids, scores = (
+        boxes_px[keep], class_ids[keep], scores[keep])
+    masks = masks[..., keep]
+
+    if len(scores):
+        from m3d import native
+        from m3d.ops.nms3d import nms_3d_numpy
+
+        b = boxes_px.astype(np.float32)
+        s = scores.astype(np.float32)
+        if native.available():
+            nms_keep = native.nms_3d_host(
+                b, s, float(nms_threshold), int(max_instances))
+        else:
+            nms_keep = nms_3d_numpy(
+                b, s, float(nms_threshold), int(max_instances))
+        boxes_px, class_ids, scores = (
+            boxes_px[nms_keep], class_ids[nms_keep], scores[nms_keep])
+        masks = masks[..., nms_keep]
+    return boxes_px, class_ids, scores, masks
+
+
+def instances_to_label_volume(masks, scores=None) -> np.ndarray:
+    """Paint instance masks into a label volume (core/models.py:6313-6336).
+
+    Instances are painted in ascending-score order so on overlap the
+    higher-score instance wins; labels are 1-based indices into the ORIGINAL
+    instance order. uint16 (the reference's uint8 caps at 255 instances).
+    """
+    H, W, D = masks.shape[:3]
+    label = np.zeros((H, W, D), np.uint16)
+    order = (np.argsort(scores) if scores is not None
+             else range(masks.shape[-1]))
+    for i in order:
+        label[masks[..., int(i)]] = int(i) + 1
+    return label

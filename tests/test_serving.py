@@ -141,6 +141,15 @@ def test_bucketed_router_variable_sizes(bundle_dir, tmp_path):
     with pytest.raises(ValueError, match="no bundle for bucket"):
         router.predict_volume(np.zeros((128, 128, 8), np.float32))
 
+    # Full product postprocess: label volume at the RAW (unpadded) shape,
+    # instances consistent across outputs.
+    seg = router.segment_volume(vol)
+    assert seg["label_volume"].shape == (48, 48, 6)
+    assert seg["label_volume"].dtype == np.uint16
+    k = seg["masks"].shape[-1]
+    assert seg["boxes_px"].shape == (k, 6)
+    assert set(np.unique(seg["label_volume"])) <= set(range(k + 1))
+
 
 def test_predict_matches_inprocess(bundle_dir):
     cfg, model, variables, image, meta, anchors, out_dir, _ = bundle_dir
