@@ -74,10 +74,14 @@ def default_chunks(model: "MaskRCNN"):
     return cls, mask
 
 
-def chunks_from_config(config, model: "MaskRCNN"):
+def chunks_from_config(config, model: "MaskRCNN", auto: bool = True):
     """Config-overridable chunk sizes: CLASSIFIER_CHUNK / MASK_CHUNK keys
-    (0 = force monolithic, absent/None = measured auto defaults)."""
-    auto_cls, auto_mask = default_chunks(model)
+    (0 = force monolithic, absent/None = measured auto defaults).
+
+    ``auto=False`` drops the measured auto defaults to monolithic (None) —
+    explicit config keys still win. Used by data-parallel serving exports
+    (m3d/serve.py), where cross-batch compaction would couple shards."""
+    auto_cls, auto_mask = default_chunks(model) if auto else (None, None)
 
     def pick(key, auto):
         v = getattr(config, key, None)

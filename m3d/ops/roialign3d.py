@@ -25,6 +25,7 @@ fixed shapes, no redundant crops, no re-sort.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -816,6 +817,7 @@ def pyramid_roi_align_auto(boxes, image_meta, feature_maps, pool_size,
     # 128-lane channel chunks; tuple pool sizes / narrow pyramids stay on
     # the gather path.
     if (method == "trilinear" and jax.default_backend() == "tpu"
+            and not _PORTABLE_ONLY
             and isinstance(pool_size, int)
             and feature_maps[0].shape[-1] % 128 == 0):
         bsz, n = boxes.shape[:2]
@@ -936,6 +938,24 @@ def pyramid_roi_align(boxes, image_meta, feature_maps, pool_size,
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
+_PORTABLE_ONLY = False
+
+
+@contextlib.contextmanager
+def portable_lowering():
+    """Force the portable XLA gather formulation (no Pallas) for anything
+    traced inside. Used by multi-platform serving exports (m3d/serve.py):
+    a pallas_call baked at trace time on a TPU host has no cpu lowering, so
+    jax.export with platforms=("cpu","tpu") would fail."""
+    global _PORTABLE_ONLY
+    prev = _PORTABLE_ONLY
+    _PORTABLE_ONLY = True
+    try:
+        yield
+    finally:
+        _PORTABLE_ONLY = prev
+
+
 def _sanitize_flat_rois(boxes, batch_idx, image_meta, num_levels):
     """Shared prep for the flat-ROI-list entries: stop-gradient + the same
     box sanitation as pyramid_roi_align (per-ROI source-image dims from
@@ -977,10 +997,17 @@ def pyramid_roi_align_flat(boxes, batch_idx, image_meta, feature_maps,
         pool_size = pool_size[0]
     p = int(pool_size)
     batch_idx = jnp.asarray(batch_idx, jnp.int32)
-    c = feature_maps[0].shape[-1]
     boxes, levels = _sanitize_flat_rois(
         boxes, batch_idx, image_meta, len(feature_maps))
+    return _gather_flat_sanitized(boxes, levels, batch_idx, feature_maps, p,
+                                  method)
 
+
+def _gather_flat_sanitized(boxes, levels, batch_idx, feature_maps, p: int,
+                           method: str):
+    """Gather-path body shared by pyramid_roi_align_flat and the compact
+    entry's fallback: boxes/levels already sanitized/routed."""
+    c = feature_maps[0].shape[-1]
     level_dims = []
     level_offsets = []
     offset = 0
@@ -1067,6 +1094,7 @@ def pyramid_roi_align_compact(boxes, batch_idx, total, image_meta,
         method == "trilinear" and c % 128 == 0
         and vm_bytes <= 12 * 1024 * 1024
         and (interpret or jax.default_backend() == "tpu")
+        and not _PORTABLE_ONLY
     )
     if use_pallas:
         from m3d.ops.pallas_roialign import (
@@ -1107,6 +1135,6 @@ def pyramid_roi_align_compact(boxes, batch_idx, total, image_meta,
 
     # XLA gather fallback (CPU / non-trilinear / narrow channels / pyramids
     # too big for VMEM residency): computes every row, masks the dead ones.
-    out = pyramid_roi_align_flat(
-        sanitized, batch_idx, image_meta, feature_maps, p, method=method)
+    out = _gather_flat_sanitized(
+        sanitized, levels, batch_idx, feature_maps, p, method)
     return jnp.where(mask5, out, 0.0)

@@ -28,6 +28,7 @@ ROIAlign kernel for the mask stage.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 from typing import Any
@@ -38,7 +39,7 @@ __all__ = ["export_bundle", "export_bucketed", "ServingBundle",
            "ServingRouter"]
 
 
-def _inference_fn(config, batch: int, monolithic_default: bool = False,
+def _inference_fn(config, monolithic_default: bool = False,
                   image_shape=None):
     """Build (infer, chunks): infer(variables, image, image_meta) -> dict.
 
@@ -62,11 +63,8 @@ def _inference_fn(config, batch: int, monolithic_default: bool = False,
     anchors = normalized_pyramid_anchors(
         config, image_shape=image_shape,
         voxel_z_over_y=float(getattr(config, "VOXEL_Z_OVER_Y", 1.0)))
-    cls_chunk, mask_chunk = chunks_from_config(config, model)
-    if monolithic_default:
-        cls_chunk = (int(getattr(config, "CLASSIFIER_CHUNK", 0) or 0)
-                     or None)
-        mask_chunk = int(getattr(config, "MASK_CHUNK", 0) or 0) or None
+    cls_chunk, mask_chunk = chunks_from_config(
+        config, model, auto=not monolithic_default)
 
     def infer(variables, image, image_meta):
         return adaptive_inference(
@@ -80,7 +78,8 @@ def _inference_fn(config, batch: int, monolithic_default: bool = False,
 def export_bundle(config, variables, out_dir: str, batch: int = 1,
                   platforms=("cpu", "tpu"),
                   data_parallel: int | None = None,
-                  image_shape=None) -> dict[str, Any]:
+                  image_shape=None,
+                  weights_file: str | None = None) -> dict[str, Any]:
     """Export an AOT serving bundle for the given config + trained params.
 
     Returns the manifest dict. ``variables`` is the full inference variable
@@ -92,6 +91,10 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
     analog of the training mesh (m3d/parallel/mesh.py). The exported
     artifact records the device count; loading requires >= n local
     devices. ``batch`` must divide by n.
+
+    ``weights_file``: bundle-relative path of an ALREADY-WRITTEN weights
+    file to reference instead of writing one (export_bucketed shares one
+    copy across buckets — weights are bucket-independent).
     """
     import jax
     from jax import export as jax_export
@@ -100,7 +103,7 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
     from m3d.train.checkpoints import save_params
 
     infer, (cls_chunk, mask_chunk) = _inference_fn(
-        config, batch,
+        config,
         monolithic_default=bool(data_parallel and int(data_parallel) > 1),
         image_shape=image_shape)
 
@@ -112,8 +115,10 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
     img_sds = jax.ShapeDtypeStruct((batch, H, W, D, C), np.float32)
     meta_sds = jax.ShapeDtypeStruct(
         (batch, int(config.IMAGE_META_SIZE)), np.float32)
+    # dtype without materializing device arrays to host.
     var_sds = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
         variables)
 
     if data_parallel and int(data_parallel) > 1:
@@ -140,15 +145,26 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
         n = 1
         jitted = jax.jit(infer)
 
-    exported = jax_export.export(
-        jitted, platforms=tuple(platforms)
-    )(var_sds, img_sds, meta_sds)
+    # Multi-platform artifacts must stay on the portable gather formulation:
+    # on a TPU host the trace-time dispatch would otherwise bake a
+    # pallas_call that has no cpu lowering and the export would fail.
+    # Single-platform ("tpu",) exports keep the Pallas mask-stage kernel.
+    from m3d.ops.roialign3d import portable_lowering
+
+    ctx = (portable_lowering() if len(tuple(platforms)) > 1
+           else contextlib.nullcontext())
+    with ctx:
+        exported = jax_export.export(
+            jitted, platforms=tuple(platforms)
+        )(var_sds, img_sds, meta_sds)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "graph.jaxexport"), "wb") as f:
         f.write(exported.serialize())
-    save_params(os.path.join(out_dir, "weights.msgpack"), variables,
-                metadata={"kind": "serving"})
+    if weights_file is None:
+        weights_file = "weights.msgpack"
+        save_params(os.path.join(out_dir, weights_file), variables,
+                    metadata={"kind": "serving"})
     manifest = {
         "format": "m3d-serving-bundle-v1",
         "config": config.to_dict(),
@@ -157,6 +173,7 @@ def export_bundle(config, variables, out_dir: str, batch: int = 1,
         "meta_size": int(config.IMAGE_META_SIZE),
         "platforms": list(platforms),
         "chunks": {"classifier": cls_chunk, "mask": mask_chunk},
+        "weights_file": weights_file,
         "data_parallel": n,
         "jax_version": jax.__version__,
         "output_keys": ["detections", "detections_valid", "mrcnn_masks",
@@ -197,11 +214,15 @@ class ServingBundle:
                 variables, NamedSharding(self._mesh, P()))
         else:
             self._mesh = self._split = None
-        self._variables = jax.device_put(variables)
+            variables = jax.device_put(variables)
+        self._variables = variables
         self._call = jax.jit(exported.call)
 
     @classmethod
-    def load(cls, path: str) -> "ServingBundle":
+    def load(cls, path: str, variables=None) -> "ServingBundle":
+        """``variables``: pre-loaded weights to use instead of reading the
+        bundle's weights file (ServingRouter shares one copy across its
+        sub-bundles — weights are bucket-independent)."""
         from jax import export as jax_export
 
         from m3d.train.checkpoints import load_params
@@ -212,7 +233,10 @@ class ServingBundle:
             raise ValueError(f"not a serving bundle: {path}")
         with open(os.path.join(path, "graph.jaxexport"), "rb") as f:
             exported = jax_export.deserialize(f.read())
-        variables, _meta = load_params(os.path.join(path, "weights.msgpack"))
+        if variables is None:
+            wf = manifest.get("weights_file") or "weights.msgpack"
+            variables, _meta = load_params(
+                os.path.normpath(os.path.join(path, wf)))
         return cls(exported, variables, manifest)
 
     def default_meta(self) -> np.ndarray:
@@ -264,15 +288,22 @@ def export_bucketed(config, variables, out_dir: str, volume_shapes,
     data_parallel).
     """
     from m3d.anchors import bucket_image_shape
+    from m3d.train.checkpoints import save_params
 
     buckets = sorted({bucket_image_shape(s) for s in volume_shapes})
     os.makedirs(out_dir, exist_ok=True)
+    # Weights are bucket-independent: ONE copy at router level, referenced
+    # by every sub-bundle manifest.
+    save_params(os.path.join(out_dir, "weights.msgpack"), variables,
+                metadata={"kind": "serving"})
     entries = {}
     for (h, w, d) in buckets:
         key = f"{h}x{w}x{d}"
         sub = os.path.join(out_dir, f"bucket_{key}")
         export_bundle(config, variables, sub, batch=batch,
-                      image_shape=(h, w, d), **export_kw)
+                      image_shape=(h, w, d),
+                      weights_file=os.path.join("..", "weights.msgpack"),
+                      **export_kw)
         entries[key] = os.path.basename(sub)
     router = {
         "format": "m3d-serving-router-v1",
@@ -300,6 +331,7 @@ class ServingRouter:
         self._path = path
         self.router = router
         self._bundles: dict[str, ServingBundle] = {}
+        self._variables = None  # ONE weights copy shared by all buckets
 
     @classmethod
     def load(cls, path: str) -> "ServingRouter":
@@ -317,13 +349,22 @@ class ServingRouter:
                     f"no bundle for bucket {key}; available: "
                     f"{sorted(self.router['buckets'])} — re-run "
                     f"export_bucketed with this shape included")
+            if self._variables is None:
+                from m3d.train.checkpoints import load_params
+
+                self._variables, _ = load_params(
+                    os.path.join(self._path, "weights.msgpack"))
             self._bundles[key] = ServingBundle.load(
-                os.path.join(self._path, sub))
+                os.path.join(self._path, sub), variables=self._variables)
         return self._bundles[key]
 
     def predict_volume(self, volume, image_id: int = 0):
         """Returns (outputs dict, meta row) — meta carries the true-extent
-        window for unmolding."""
+        window for unmolding.
+
+        Routing is one-volume-at-a-time; export buckets with the default
+        batch=1 — a batch>1 bundle is filled by tiling the volume and all
+        but slot 0 of its compute is discarded."""
         from m3d.anchors import bucket_image_shape
         from m3d.image_meta import compose_image_meta
 
@@ -360,17 +401,21 @@ class ServingRouter:
         from m3d.utils.unmold import (instances_to_label_volume,
                                       postprocess_detections)
 
+        from m3d.config import Config
+
         out, meta = self.predict_volume(volume, image_id=image_id)
-        cfg = self._bundle(
+        # Rebuild a Config from the snapshot so missing keys resolve to the
+        # SAME defaults the eval loop uses (m3d/train/mrcnn.py).
+        cfg = Config(**self._bundle(
             f"{int(meta[5])}x{int(meta[6])}x{int(meta[7])}"
-        ).manifest["config"]
+        ).manifest["config"])
         boxes_px, class_ids, scores, masks = postprocess_detections(
             out["detections"][0], out["mrcnn_masks"][0],
             padded_shape=meta[5:8], original_shape=meta[1:4],
-            min_confidence=float(cfg["DETECTION_MIN_CONFIDENCE"]),
-            min_roi_size=float(cfg.get("MIN_ROI_SIZE", 0.0)),
-            nms_threshold=float(cfg["DETECTION_NMS_THRESHOLD"]),
-            max_instances=int(cfg["DETECTION_MAX_INSTANCES"]),
+            min_confidence=float(cfg.DETECTION_MIN_CONFIDENCE),
+            min_roi_size=float(cfg.MIN_ROI_SIZE),
+            nms_threshold=float(cfg.DETECTION_NMS_THRESHOLD),
+            max_instances=int(cfg.DETECTION_MAX_INSTANCES),
         )
         return {
             "label_volume": instances_to_label_volume(masks, scores),

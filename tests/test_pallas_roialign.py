@@ -150,3 +150,37 @@ def test_compact_matches_padded(rng, c, interp):
         np.testing.assert_allclose(got[r:r + cnt], ref[b, :cnt], atol=1e-4)
         r += cnt
     assert (got[total:] == 0).all()
+
+
+def test_portable_lowering_forces_gather(rng):
+    """Inside roialign3d.portable_lowering() the compact entry must take the
+    XLA gather fallback even where the Pallas kernel would dispatch
+    (interpret=True stands in for a TPU backend) — multi-platform serving
+    exports depend on this (m3d/serve.py). The fallback output must match
+    the gather path exactly and the flag must restore on exit."""
+    import numpy as np
+
+    import m3d.ops.roialign3d as ra
+
+    depth = 16
+    c = 256
+    cfg = Config(IMAGE_SIZE=64, IMAGE_DEPTH=depth, NUM_CLASSES=2)
+    meta = np.tile(default_meta(cfg)[None], (2, 1))
+    feats = [rng.randn(2, 16, 16, depth, c).astype(np.float32),
+             rng.randn(2, 8, 8, depth, c).astype(np.float32),
+             rng.randn(2, 4, 4, depth // 2, c).astype(np.float32),
+             rng.randn(2, 2, 2, depth // 4, c).astype(np.float32)]
+    lo = rng.uniform(0, 0.45, (6, 3)).astype(np.float32)
+    ext = rng.uniform(0.1, 0.5, (6, 3)).astype(np.float32)
+    boxes_f = np.concatenate([lo, np.minimum(lo + ext, 1.0)], -1)
+    batch_f = np.asarray([0, 0, 0, 1, 1, 1], np.int32)
+
+    gather = np.asarray(
+        ra.pyramid_roi_align_flat(boxes_f, batch_f, meta, feats, 7))
+    with ra.portable_lowering():
+        assert ra._PORTABLE_ONLY
+        got = np.asarray(ra.pyramid_roi_align_compact(
+            boxes_f, batch_f, np.int32(6), meta, feats, 7, interpret=True))
+    assert not ra._PORTABLE_ONLY
+    # Bit-exact: same formulation, not just numerically close.
+    np.testing.assert_array_equal(got, gather)

@@ -123,6 +123,16 @@ def test_bucketed_router_variable_sizes(bundle_dir, tmp_path):
     # All three raw shapes round up to ONE 64x64x8 bucket -> one export.
     assert list(router_manifest["buckets"]) == ["64x64x8"]
 
+    # ONE weights copy at router level; sub-bundles reference it.
+    import os
+    assert os.path.exists(os.path.join(out_dir, "weights.msgpack"))
+    sub = os.path.join(out_dir, "bucket_64x64x8")
+    assert not os.path.exists(os.path.join(sub, "weights.msgpack"))
+    with open(os.path.join(sub, "manifest.json")) as f:
+        import json
+        assert json.load(f)["weights_file"] == os.path.join(
+            "..", "weights.msgpack")
+
     router = ServingRouter.load(out_dir)
     vol = np.random.RandomState(11).randn(48, 48, 6).astype(np.float32)
     out, meta = router.predict_volume(vol)
