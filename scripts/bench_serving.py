@@ -1,0 +1,122 @@
+"""Serving-bundle latency: exported StableHLO graph vs in-process jit.
+
+Exports the bench workload (bench.py config, trained milestone weights when
+present) as a serving bundle for the LOCAL platform, loads it back, and
+times both paths with the chained-scan slope methodology — the exported
+artifact must not give up measurable throughput vs calling the library
+in-process.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_serving.py
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax import lax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def chain_time(name, fn, *args,
+               n_lo=int(os.environ.get("BENCH_N_LO", 3)),
+               n_hi=int(os.environ.get("BENCH_N_HI", 12))):
+    def scan_fn(n):
+        def body(c, _):
+            out = fn(*args[:-1], args[-1] + c)
+            s = sum(jnp.sum(v.astype(jnp.float32))
+                    for v in out.values()) * 1e-12
+            return s.astype(jnp.float32), None
+
+        return jax.jit(lambda: lax.scan(
+            body, jnp.float32(0.0), None, length=n)[0])
+
+    times = {}
+    for n in (n_lo, n_hi):
+        f = scan_fn(n)
+        float(f())
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f())
+            ts.append(time.perf_counter() - t0)
+        times[n] = min(ts)
+    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    print(f"[{name}] {dt*1e3:.2f} ms/call", flush=True)
+    return dt
+
+
+def main():
+    from m3d.config import Config
+    from m3d.image_meta import default_meta
+    from m3d.models.mask_rcnn import MaskRCNN, init_params
+    from m3d.serve import ServingBundle, export_bundle
+
+    batch = int(os.environ.get("BENCH_BATCH", 4))
+    size = int(os.environ.get("BENCH_SIZE", 128))
+    cfg = Config(
+        IMAGE_SIZE=size, IMAGE_DEPTH=size,
+        BACKBONE_STRIDES=[(4, 4, 4), (8, 8, 8), (16, 16, 16), (32, 32, 32),
+                          (64, 64, 64)],
+        RPN_ANCHOR_SCALES=(16, 24, 32, 48, 64),
+        RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
+        PRE_NMS_LIMIT=6000, POST_NMS_ROIS_INFERENCE=500,
+        DETECTION_MAX_INSTANCES=50,
+        FPN_CLASSIF_FC_LAYERS_SIZE=512,
+    )
+    model = MaskRCNN.from_config(cfg, mode="inference")
+    variables = init_params(model, jax.random.PRNGKey(0))
+    ckpt = "/root/repo/runs/milestone/head/weights/best.msgpack"
+    if os.path.exists(ckpt):
+        from m3d.train.checkpoints import load_params, restore_by_name
+
+        src, _ = load_params(ckpt)
+        variables, stats = restore_by_name(variables, src)
+        print(f"[serving bench] trained weights: {stats}", file=sys.stderr)
+
+    image = jnp.asarray(np.random.RandomState(0).randn(
+        batch, size, size, size, 1), jnp.float32)
+    meta = np.tile(default_meta(cfg)[None], (batch, 1))
+
+    # Single-platform export for the local backend keeps the native kernel
+    # dispatch (Pallas on TPU).
+    platform = jax.default_backend()
+    out_dir = tempfile.mkdtemp(prefix="m3d_serving_bench_")
+    t0 = time.time()
+    export_bundle(cfg, variables, out_dir, batch=batch,
+                  platforms=(platform,))
+    print(f"[serving bench] export ({platform}) in {time.time()-t0:.0f}s "
+          f"-> {out_dir}", file=sys.stderr)
+    t0 = time.time()
+    bundle = ServingBundle.load(out_dir)
+    print(f"[serving bench] load in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # In-process path (same graph the bundle serializes).
+    from m3d.serve import _inference_fn
+
+    infer, _ = _inference_fn(cfg)
+    meta_j = jnp.asarray(meta, jnp.float32)
+
+    def inproc(v, img):
+        return infer(v, img, meta_j)
+
+    def bund(v, img):
+        return bundle._call(v, img, meta_j)
+
+    t_proc = chain_time("in-process jit", inproc, bundle._variables, image)
+    t_bund = chain_time("serving bundle", bund, bundle._variables, image)
+    print(f"bundle {batch/t_bund:.2f} vol/s vs in-process "
+          f"{batch/t_proc:.2f} vol/s (overhead "
+          f"{(t_bund/t_proc-1)*100:+.1f}%)")
+
+
+if __name__ == "__main__":
+    main()
