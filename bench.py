@@ -38,7 +38,13 @@ import time
 
 import numpy as np
 
-CKPT = "/root/repo/runs/milestone/head/weights/best.msgpack"
+# Preferred: the live milestone run. Fallback: the git-tracked f16 copy
+# (weights/), which survives workspace resets between rounds — restore_by_name
+# casts it back to the model's param dtype.
+CKPTS = (
+    "/root/repo/runs/milestone/head/weights/best.msgpack",
+    "/root/repo/weights/bench_ckpt.f16.msgpack",
+)
 
 
 def log(msg):
@@ -96,13 +102,13 @@ def main(min_confidence: float | None = None):
     meta = np.tile(default_meta(cfg)[None], (batch, 1))
 
     variables = init_params(model, jax.random.PRNGKey(0))
-    trained = os.path.exists(CKPT)
-    if trained:
+    ckpt = next((p for p in CKPTS if os.path.exists(p)), None)
+    if ckpt is not None:
         from m3d.train.checkpoints import load_params, restore_by_name
 
-        source, _ = load_params(CKPT)
+        source, _ = load_params(ckpt)
         variables, stats = restore_by_name(variables, source)
-        log(f"[bench] trained workload: restored {CKPT}: {stats}")
+        log(f"[bench] trained workload: restored {ckpt}: {stats}")
         image = make_volumes(batch, 128)
         cls_chunk, mask_chunk = default_chunks(model)
     else:

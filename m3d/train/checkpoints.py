@@ -136,10 +136,14 @@ def restore_by_name(target, source, skip_mismatch: bool = True,
             out[key] = tval
             continue
         if cand.shape == tval.shape:
-            out[key] = cand
+            # Cast to the target leaf's dtype: checkpoints may be stored
+            # compactly (f16) while models expect f32 params (the reference's
+            # Keras load casts H5 datasets to the variable dtype likewise).
+            out[key] = cand.astype(tval.dtype, copy=False)
             stats["loaded"] += 1
         elif class_slice and _try_class_slice(cand, tval) is not None:
-            out[key] = _try_class_slice(cand, tval)
+            out[key] = _try_class_slice(cand, tval).astype(
+                tval.dtype, copy=False)
             stats["sliced"] += 1
         elif skip_mismatch:
             if verbose:

@@ -253,3 +253,19 @@ def test_keras231_timedistributed_layout_loads_fully(tiny, tmp_path):
         for k in wb:
             np.testing.assert_array_equal(
                 np.asarray(gb[k]), np.asarray(wb[k]), err_msg=k)
+
+
+def test_restore_casts_to_target_dtype():
+    """A compact f16-stored checkpoint restores as the target's dtype
+    (weights/bench_ckpt.f16.msgpack survives workspace resets; loading it
+    must yield f32 params, mirroring Keras' cast-on-load)."""
+    target = {"params": {"conv": {"kernel": np.zeros((3, 3), np.float32),
+                                  "bias": np.zeros((3,), np.float32)}}}
+    src = {"params": {"conv": {
+        "kernel": np.full((3, 3), 0.5, np.float16),
+        "bias": np.arange(3, dtype=np.float16)}}}
+    merged, stats = restore_by_name(target, src)
+    assert stats["loaded"] == 2
+    k = merged["params"]["conv"]["kernel"]
+    assert k.dtype == np.float32
+    np.testing.assert_allclose(np.asarray(k), 0.5)
