@@ -278,6 +278,52 @@ class HeadTrainer:
 
         return train_step
 
+    def make_e2e_eval_step(self):
+        """Validation forward for e2e mode: same live-proposal loss as
+        ``make_e2e_step`` but gradient-free, BN in running-stats mode, and
+        with a FIXED target-sampling key — the per-epoch val loss compares
+        the same ROI draws across epochs (the reference validates e2e with
+        ``fit_generator(validation_data=...)``, core/models.py:4609-4622).
+        """
+        cfg = self.config
+        model = self.model.clone(train_bn=False)
+        anchors = self.anchors
+        nc = int(cfg.NUM_CLASSES)
+        mask_shape = tuple(int(v) for v in cfg.MASK_SHAPE)
+        val_key = jax.random.PRNGKey(int(getattr(cfg, "SEED", 0)) + 99)
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            rpn_out = model.apply(variables, batch["image"], anchors,
+                                  method=MaskRCNN.forward_rpn)
+            targets = detection_targets_batch(
+                val_key, rpn_out["proposals"], batch["gt_class_ids"],
+                batch["gt_boxes"], batch["gt_masks"],
+                jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),
+                int(cfg.TRAIN_ROIS_PER_IMAGE),
+                float(cfg.ROI_POSITIVE_RATIO),
+                float(cfg.RPN_POSITIVE_IOU), float(cfg.RPN_NEGATIVE_IOU),
+                mask_shape, use_mini_mask=bool(cfg.USE_MINI_MASK),
+            )
+            feats = rpn_out["feature_maps"][:4]
+            ra = pyramid_roi_align(targets["rois"], batch["image_meta"],
+                                   list(feats), int(cfg.POOL_SIZE))
+            ma = pyramid_roi_align(targets["rois"], batch["image_meta"],
+                                   list(feats), int(cfg.MASK_POOL_SIZE))
+            out = model.apply(variables, ra, ma,
+                              method=MaskRCNN.forward_heads)
+            head_batch = {
+                "target_class_ids": targets["class_ids"],
+                "target_bbox": targets["deltas"],
+                "target_mask": targets["masks"],
+            }
+            active = jnp.ones((batch["image"].shape[0], nc), jnp.float32)
+            _, metrics = head_losses(cfg, out, head_batch, active)
+            return metrics
+
+        return eval_step
+
     def train_e2e(self, steps_per_epoch=None, val_steps: int = 2):
         cfg = self.config
         if bool(getattr(cfg, "TRAIN_BN", False)):
@@ -296,6 +342,19 @@ class HeadTrainer:
 
         gen = RPNGenerator(train_ds, cfg, mode="e2e",
                            seed=int(getattr(cfg, "SEED", 0)))
+        # Held-out validation: the reference fits e2e with the TEST split as
+        # validation_data (core/models.py:4538-4547, 4614-4615); best.msgpack
+        # is gated on val loss via _train_loop.
+        val_ds = ToyDataset()
+        val_ds.load_dataset(cfg.DATA_DIR, is_train=False,
+                            class_names=tuple(cfg.CLASS_NAMES))
+        val_ds.prepare()
+        val_ds = val_ds.filter_positive()
+        if len(val_ds.image_info):
+            val_gen = RPNGenerator(val_ds, cfg, mode="e2e", shuffle=False)
+            eval_fn = self.make_e2e_eval_step()
+        else:  # no held-out split on disk: fall back to train-loss gating
+            val_gen, eval_fn = None, None
         variables = self.init_variables(require_rpn=True)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -312,9 +371,10 @@ class HeadTrainer:
             key, sub = jax.random.split(key)
             return step_fn(params, opt_state, batch_stats, batch, sub)
 
-        return self._train_loop(gen, None, params, opt_state, batch_stats,
-                                stepper, None,
-                                steps_per_epoch=steps_per_epoch)
+        return self._train_loop(gen, val_gen, params, opt_state, batch_stats,
+                                stepper, eval_fn,
+                                steps_per_epoch=steps_per_epoch,
+                                val_steps=val_steps)
 
     # ------------------------------------------------------------------
     def _train_loop(self, gen, val_gen, params, opt_state, batch_stats,
@@ -329,7 +389,8 @@ class HeadTrainer:
         from m3d.data.generators import prefetch_to_device
 
         it = prefetch_to_device(
-            shard_batch(self.mesh, b) for b in iter(gen)
+            (shard_batch(self.mesh, b) for b in iter(gen)),
+            size=int(getattr(cfg, "PREFETCH_BUFFERS", 2)),
         )
         from m3d.train.profiling import EpochProfiler
 

@@ -173,7 +173,64 @@ class MrcnnTrainer:
 
         return train_step
 
-    def train(self, steps_per_epoch=None):
+    def make_eval_step(self, model):
+        """Gradient-free full-graph loss on a held-out batch: same RPN + head
+        losses as ``make_train_step`` but BN in running-stats mode and a FIXED
+        target-sampling key so per-epoch val losses compare identical ROI
+        draws (the reference fits with ``validation_data`` and gates best.h5
+        on val metrics, core/models.py:5808-5873, 2035-2049).
+        """
+        cfg = self.config
+        model = model.clone(train_bn=False)
+        anchors = self.anchors
+        nc = int(cfg.NUM_CLASSES)
+        mask_shape = tuple(int(v) for v in cfg.MASK_SHAPE)
+        lw = cfg.LOSS_WEIGHTS
+        val_key = jax.random.PRNGKey(int(getattr(cfg, "SEED", 0)) + 99)
+
+        @jax.jit
+        def eval_step(params, batch_stats, batch):
+            variables = {"params": params, "batch_stats": batch_stats}
+            rpn_out = model.apply(variables, batch["image"], anchors,
+                                  method=MaskRCNN.forward_rpn)
+            lrc, mrc = L.rpn_class_loss(batch["rpn_match"],
+                                        rpn_out["rpn_class_logits"])
+            lrb, mrb = L.rpn_bbox_loss(batch["rpn_bbox"], batch["rpn_match"],
+                                       rpn_out["rpn_bbox"])
+            targets = detection_targets_batch(
+                val_key, rpn_out["proposals"], batch["gt_class_ids"],
+                batch["gt_boxes"], batch["gt_masks"],
+                jnp.asarray(cfg.BBOX_STD_DEV, jnp.float32),
+                int(cfg.TRAIN_ROIS_PER_IMAGE),
+                float(cfg.ROI_POSITIVE_RATIO),
+                float(cfg.RPN_POSITIVE_IOU), float(cfg.RPN_NEGATIVE_IOU),
+                mask_shape, use_mini_mask=bool(cfg.USE_MINI_MASK),
+            )
+            feats = rpn_out["feature_maps"][:4]
+            ra = pyramid_roi_align(targets["rois"], batch["image_meta"],
+                                   list(feats), int(cfg.POOL_SIZE))
+            ma = pyramid_roi_align(targets["rois"], batch["image_meta"],
+                                   list(feats), int(cfg.MASK_POOL_SIZE))
+            out = model.apply(variables, ra, ma,
+                              method=MaskRCNN.forward_heads)
+            head_batch = {
+                "target_class_ids": targets["class_ids"],
+                "target_bbox": targets["deltas"],
+                "target_mask": targets["masks"],
+            }
+            active = jnp.ones((batch["image"].shape[0], nc), jnp.float32)
+            head_loss, metrics = head_losses(cfg, out, head_batch, active)
+            loss = (float(lw.get("rpn_class_loss", 1.0)) * lrc
+                    + float(lw.get("rpn_bbox_loss", 1.0)) * lrb
+                    + head_loss)
+            metrics.update(mrc)
+            metrics.update(mrb)
+            metrics["loss"] = loss
+            return metrics
+
+        return eval_step
+
+    def train(self, steps_per_epoch=None, val_steps: int = 4):
         cfg = self.config
         model = self._model("training")
         full = ToyDataset()
@@ -195,6 +252,8 @@ class MrcnnTrainer:
         gen = MrcnnGenerator(train_ds, cfg, mode="training",
                              seed=int(getattr(cfg, "SEED", 0)),
                              telemetry=self.telemetry)
+        val_gen = MrcnnGenerator(val_ds, cfg, mode="training", shuffle=False)
+        eval_fn = self.make_eval_step(model)
         variables = self.init_variables(model)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -216,7 +275,8 @@ class MrcnnTrainer:
         from m3d.data.generators import prefetch_to_device
 
         it = prefetch_to_device(
-            shard_batch(self.mesh, b) for b in iter(gen)
+            (shard_batch(self.mesh, b) for b in iter(gen)),
+            size=int(getattr(cfg, "PREFETCH_BUFFERS", 2)),
         )
         from m3d.train.profiling import EpochProfiler
 
@@ -236,10 +296,25 @@ class MrcnnTrainer:
                     agg.setdefault(k, []).append(float(v))
             profiler.maybe_stop(epoch)
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
+
+            # Held-out validation pass; best.msgpack / LR plateau / early
+            # stopping all gate on val loss (reference core/models.py:2035-2049).
+            if len(val_ds.image_info) and len(val_gen):
+                vit = iter(val_gen)
+                vals: dict[str, list] = {}
+                for _ in range(min(val_steps, len(val_gen))):
+                    vb = shard_batch(self.mesh, next(vit))
+                    for k, v in jax.device_get(
+                            eval_fn(params, batch_stats, vb)).items():
+                        vals.setdefault(f"val_{k}", []).append(float(v))
+                epoch_metrics.update(
+                    {k: float(np.mean(v)) for k, v in vals.items()})
+
+            gate = epoch_metrics.get("val_loss", epoch_metrics["loss"])
             variables = {"params": params, "batch_stats": batch_stats}
-            ckpt.update(epoch, variables, epoch_metrics["loss"],
+            ckpt.update(epoch, variables, gate,
                         metadata={"kind": "mrcnn", "epoch": epoch})
-            new_lr = reduce_lr.update(epoch_metrics["loss"], lr)
+            new_lr = reduce_lr.update(gate, lr)
             if new_lr != lr:
                 lr = new_lr
                 opt_state = set_learning_rate(opt_state, lr)
@@ -247,9 +322,9 @@ class MrcnnTrainer:
             self.telemetry.snapshot_and_reset(epoch, save_dir,
                                               extra=epoch_metrics)
             print(f"[MRCNN][epoch {epoch}] loss={epoch_metrics['loss']:.4f} "
-                  f"lr={lr:.2e} ({time.time() - t0:.1f}s)")
+                  f"gate={gate:.4f} lr={lr:.2e} ({time.time() - t0:.1f}s)")
             history.append(epoch_metrics)
-            if early.update(epoch_metrics["loss"]):
+            if early.update(gate):
                 break
         return variables, history
 

@@ -3,7 +3,7 @@
 # Prereq: data/synth64 exists (m3d.data.synthetic --train_image_nb 150
 # --image_size 64 --split). ~35 min on one v5e with a warm /root/.jax_cache.
 set -uo pipefail
-cd /root/repo
+cd /root/repo || exit 1
 LOG=runs/bench_ckpt/logs
 mkdir -p "$LOG"
 
@@ -20,5 +20,5 @@ stage() {
 
 stage RPN_TRAINING  configs/bench_ckpt/rpn.json       rpn
 stage HEAD_TRAINING configs/bench_ckpt/heads_e2e.json head
-python scripts/pack_bench_ckpt.py
+python scripts/pack_bench_ckpt.py || { echo "PACK FAILED"; exit 1; }
 echo "=== BENCH CKPT COMPLETE ==="

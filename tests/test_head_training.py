@@ -62,8 +62,20 @@ def test_e2e_training_with_frozen_rpn(pipeline):
         WEIGHT_DIR=os.path.join(d, "e2e_weights"),
     )
     trainer = HeadTrainer(cfg)
-    variables, history = trainer.train_e2e(steps_per_epoch=2)
+    variables, history = trainer.train_e2e(steps_per_epoch=2, val_steps=1)
     assert np.isfinite(history[0]["loss"])
+
+    # e2e validates on the held-out test split and gates best.msgpack on
+    # val loss (reference core/models.py:4609-4622, 2035-2049).
+    assert "val_loss" in history[0] and np.isfinite(history[0]["val_loss"])
+    import json
+
+    with open(os.path.join(cfg.WEIGHT_DIR, "best.msgpack.json")) as f:
+        meta = json.load(f)
+    best_epoch = min(range(len(history)),
+                     key=lambda e: history[e]["val_loss"])
+    assert meta["metric"] == pytest.approx(
+        history[best_epoch]["val_loss"], rel=1e-6)
 
     # Frozen subtrees must be bit-identical to the restored RPN weights.
     source, _ = load_params(rpn_best)

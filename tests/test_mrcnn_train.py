@@ -67,6 +67,34 @@ def test_mrcnn_training_freeze_selection(data_dir, learning_layers):
         assert moved_trunk and not moved_head
 
 
+def test_mrcnn_val_gated_checkpoint(data_dir):
+    """The 80/20 val split is actually consumed: history carries val_*
+    metrics and best.msgpack is gated on val loss, not train loss
+    (reference fits with validation_data and gates best.h5 on val metrics,
+    core/models.py:5808-5873, 2035-2049)."""
+    import json
+
+    from m3d.train.mrcnn import MrcnnTrainer
+
+    cfg = tiny_train_config(
+        data_dir, LEARNING_LAYERS="all", EPOCHS=2,
+        WEIGHT_DIR=os.path.join(data_dir, "w_valgate"),
+        OUTPUT_DIR=os.path.join(data_dir, "o_valgate"),
+    )
+    trainer = MrcnnTrainer(cfg)
+    variables, history = trainer.train(steps_per_epoch=1, val_steps=1)
+
+    assert all("val_loss" in m and np.isfinite(m["val_loss"])
+               for m in history)
+    with open(os.path.join(cfg.WEIGHT_DIR, "best.msgpack.json")) as f:
+        meta = json.load(f)
+    best_epoch = min(range(len(history)),
+                     key=lambda e: history[e]["val_loss"])
+    assert meta["metric"] == pytest.approx(
+        history[best_epoch]["val_loss"], rel=1e-6)
+    assert meta["epoch"] == best_epoch
+
+
 def test_train_bn_updates_batch_stats(data_dir):
     """TRAIN_BN=true must actually update BN running stats during RPN
     training (mutable batch_stats threading; was latently broken: flax
