@@ -55,7 +55,11 @@ _DEFAULTS: dict[str, Any] = {
     "MASK_POOL_SIZE": 14,
     "FPN_CLASSIF_FC_LAYERS_SIZE": 1024,
     "HEAD_CONV_CHANNEL": 256,
-    "HEAD_MAX_ROIS": 1000,
+    # Classifier-stage ROI cap (reference limit_rois, core/models.py:1254-
+    # 1270). The reference gates its cap on the accidental heuristic
+    # HEAD_CONV_CHANNEL < IMAGE_SHAPE[0] (reference default 1000); m3d makes
+    # it explicit opt-in: 0 = disabled, >0 = cap score-sorted proposals.
+    "HEAD_MAX_ROIS": 0,
     "MASK_SHAPE": [28, 28, 28],
     "TELEMETRY": True,
     "TELEMETRY_SAMPLE": 0.02,

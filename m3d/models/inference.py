@@ -261,6 +261,12 @@ def adaptive_inference(model: MaskRCNN, variables, image, image_meta, anchors,
     proposals, prop_valid = model.apply(
         variables, probs, deltas, anchors, method=MaskRCNN.propose
     )
+    # HEAD_MAX_ROIS cap on score-sorted proposals (reference limit_rois,
+    # core/models.py:1254-1270) — same slice as MaskRCNN.__call__.
+    cap = int(model.head_max_rois or 0)
+    if cap and cap < proposals.shape[1]:
+        proposals = proposals[:, :cap]
+        prop_valid = prop_valid[:, :cap]
     mrcnn_feats = list(feats[:4])  # P2..P5
 
     if classifier_chunk:

@@ -83,6 +83,11 @@ class MaskRCNN(nn.Module):
     detection_nms_threshold: float = 0.45
     detection_max_instances: int = 50
     detection_nms_xy_only: bool = False
+    # Cap on score-sorted proposals entering the classifier stage
+    # (reference HEAD_MAX_ROIS / limit_rois, core/models.py:1254-1270 —
+    # proposals are already descending-score, so "first N" == "top N").
+    # 0/None disables the cap.
+    head_max_rois: int = 0
     train_bn: bool = False
     dtype: Dtype = jnp.bfloat16
 
@@ -132,6 +137,7 @@ class MaskRCNN(nn.Module):
             detection_nms_xy_only=bool(
                 getattr(config, "DETECTION_NMS_XY_ONLY", False)
             ),
+            head_max_rois=int(getattr(config, "HEAD_MAX_ROIS", 0) or 0),
             # Inference always uses BN running stats (Keras learning-phase-0
             # semantics at predict time, regardless of TRAIN_BN).
             train_bn=bool(config.TRAIN_BN) and mode != "inference",
@@ -300,6 +306,12 @@ class MaskRCNN(nn.Module):
         feats = self.extract_features(image)
         logits, probs, deltas = self.rpn_forward(feats)
         proposals, prop_valid = self.propose(probs, deltas, anchors)
+        # HEAD_MAX_ROIS: bound classifier cost by keeping only the top-scored
+        # proposals (reference limit_rois, core/models.py:1254-1270).
+        cap = int(self.head_max_rois or 0)
+        if cap and cap < proposals.shape[1]:
+            proposals = proposals[:, :cap]
+            prop_valid = prop_valid[:, :cap]
 
         mrcnn_feats = feats[:4]  # P2..P5
         cls_logits, cls_probs, cls_bbox = self.classify_rois(

@@ -186,7 +186,8 @@ class RPNTrainer:
         from m3d.data.generators import prefetch_to_device
 
         it = prefetch_to_device(
-            shard_batch(self.mesh, b) for b in iter(gen)
+            (shard_batch(self.mesh, b) for b in iter(gen)),
+            size=int(getattr(cfg, "PREFETCH_BUFFERS", 2)),
         )
         from m3d.train.profiling import EpochProfiler
 
@@ -302,6 +303,11 @@ class RPNTrainer:
 
             rows = []
             n = len(ds.image_info)
+            # TARGET_RATIO: target only the leading fraction of each split
+            # (reference _run_split, core/models.py:3638-3641).
+            ratio = float(getattr(cfg, "TARGET_RATIO", 1.0))
+            if ratio < 1.0:
+                n = max(1, int(round(ratio * n)))
             if max_images:
                 n = min(n, max_images)
             split_dir = os.path.join(out_root, split)

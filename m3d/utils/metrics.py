@@ -117,6 +117,12 @@ def rpn_evaluation(predict_fn, dataset, config, max_images=None,
     """
     iou_grid = list(getattr(config, "EVAL_MATCH_IOU_GRID", [0.3, 0.4, 0.5]))
     topk_grid = list(getattr(config, "EVAL_TOPK_GRID", [500, 1000, 2000]))
+    # The reference evaluates at the single EVAL_TOPK_RPN cutoff
+    # (core/utils.py:1254); fold it into the grid so reference configs
+    # (e.g. rats EVAL_TOPK_RPN=10000) keep their meaning.
+    topk_ref = int(getattr(config, "EVAL_TOPK_RPN", 0) or 0)
+    if topk_ref and topk_ref not in topk_grid:
+        topk_grid = sorted(topk_grid + [topk_ref])
     match_iou = float(getattr(config, "EVAL_MATCH_IOU", 0.5))
 
     n = len(dataset.image_info)

@@ -137,3 +137,20 @@ def test_chunked_roi_stage_unit():
     # chunk >= N falls back to one monolithic call.
     out2 = chunked_roi_stage(fn, rois, 7, 16)
     np.testing.assert_allclose(np.asarray(out2["s"]), np.asarray(ref["s"]))
+
+
+def test_head_max_rois_cap(built):
+    """HEAD_MAX_ROIS caps score-sorted proposals entering the classifier
+    (reference limit_rois, core/models.py:1254-1270): the per-ROI stages see
+    exactly the first N proposals of the uncapped run."""
+    cfg, model, variables, image, anchors, meta, full = built
+    capped = model.clone(head_max_rois=16)
+    out = jax.device_get(capped.apply(variables, image, meta, anchors))
+    assert out["mrcnn_probs"].shape[1] == 16
+    np.testing.assert_allclose(np.asarray(out["proposals"]),
+                               np.asarray(full["proposals"])[:, :16])
+    # adaptive path applies the same cap
+    out_a = jax.device_get(adaptive_inference(
+        capped, variables, image, meta, anchors, mask_chunk=4))
+    np.testing.assert_allclose(np.asarray(out_a["proposals"]),
+                               np.asarray(full["proposals"])[:, :16])
