@@ -43,6 +43,7 @@ import numpy as np
 # casts it back to the model's param dtype.
 CKPTS = (
     "/root/repo/runs/milestone/head/weights/best.msgpack",
+    "/root/repo/runs/bench_ckpt/head/weights/best.msgpack",
     "/root/repo/weights/bench_ckpt.f16.msgpack",
 )
 
