@@ -63,7 +63,10 @@ _DEFAULTS: dict[str, Any] = {
     "MASK_SHAPE": [28, 28, 28],
     "TELEMETRY": True,
     "TELEMETRY_SAMPLE": 0.02,
-    "EVAL_DET_IOU": 0.4,
+    # Instance-match IoU for evaluation metrics. Default 0.5 = the
+    # reference's compute_matches/compute_ap default (core/utils.py:1160,
+    # 1211), so "det recall @IoU0.5" labels hold without per-config overrides.
+    "EVAL_DET_IOU": 0.5,
     "MIN_ROI_SIZE": 15,
     # Detection
     "DETECTION_MAX_INSTANCES": 50,

@@ -115,7 +115,7 @@ def _apply_noise(img, rng):
 
 
 def create_volume(image_shape, rng, num_max_objects=NUM_MAX_OBJECTS,
-                  classes=None, base=None):
+                  classes=None, base=None, voxel_z_over_y: float = 1.0):
     """Fabricate one labeled volume.
 
     Returns (img_uint8 [Y,X,Z], seg_uint8, masks [Y,X,Z,N] uint8,
@@ -123,10 +123,17 @@ def create_volume(image_shape, rng, num_max_objects=NUM_MAX_OBJECTS,
 
     ``base`` scales object size; defaults to the reference's 15 but is
     capped so objects fit shallow (anisotropic) volumes.
+
+    ``voxel_z_over_y`` > 1 fabricates anisotropic-acquisition objects (the
+    rats/HeLa regime: z voxels physically taller than xy, so a round cell
+    spans ~1/k as many z voxels — reference configs VOXEL_Z_OVER_Y): object
+    size follows the XY extents and each object is z-squashed by the factor.
     """
     classes = classes if classes is not None else SHAPE_FACTORIES
+    k = max(float(voxel_z_over_y), 1.0)
     if base is None:
-        base = min(BASE_SIZE, max(2, min(image_shape) // 4))
+        cap_src = min(image_shape[:2]) if k > 1.0 else min(image_shape)
+        base = min(BASE_SIZE, max(2, cap_src // 4))
     img = np.zeros(image_shape)
     seg = np.zeros(image_shape, np.uint8)
     n_target = rng.randint(3, num_max_objects + 1)
@@ -138,6 +145,15 @@ def create_volume(image_shape, rng, num_max_objects=NUM_MAX_OBJECTS,
     while n < n_target and trials <= 100:
         factory, cls = classes[rng.randint(len(classes))]
         obj = factory(rng, base=base)
+        if k > 1.0 and obj.shape[2] > 1:
+            from scipy.ndimage import zoom
+
+            obj = (zoom(obj.astype(np.float32), (1.0, 1.0, 1.0 / k),
+                        order=1) >= 0.5).astype(np.uint8)
+            obj = _crop_to_content(obj)
+            if obj.max() == 0:
+                trials += 1
+                continue
         dy, dx, dz = (s // 2 for s in obj.shape)
         if (dy >= image_shape[0] // 2 or dx >= image_shape[1] // 2
                 or dz >= image_shape[2] // 2):
@@ -214,8 +230,12 @@ def write_volume(out_dir: str, name: str, img, seg, masks, boxes, class_ids):
 
 
 def generate_experiment(train_image_nb: int, image_size, train_dir: str,
-                        seed: int = 0, image_depth=None):
-    """Generate a dataset directory tree (reference: generate_data.py:200-220)."""
+                        seed: int = 0, image_depth=None,
+                        voxel_z_over_y: float = 1.0):
+    """Generate a dataset directory tree (reference: generate_data.py:200-220).
+
+    ``voxel_z_over_y`` > 1 generates anisotropic-acquisition volumes
+    (rats/HeLa regime — objects sized by XY, z-squashed by the factor)."""
     for sub in ("classes_and_boxes", "seg", "masks", "images", "csvs"):
         os.makedirs(os.path.join(train_dir, sub), exist_ok=True)
     depth = image_depth or image_size
@@ -223,7 +243,9 @@ def generate_experiment(train_image_nb: int, image_size, train_dir: str,
     for i in range(train_image_nb):
         rng = np.random.RandomState(seed + i)
         name = str(i + 1).zfill(6)
-        write_volume(train_dir, name, *create_volume(image_shape, rng))
+        write_volume(train_dir, name,
+                     *create_volume(image_shape, rng,
+                                    voxel_z_over_y=voxel_z_over_y))
     return train_dir
 
 
@@ -265,11 +287,12 @@ def main():
     parser.add_argument("--image_size", type=int, default=128)
     parser.add_argument("--image_depth", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--voxel_z_over_y", type=float, default=1.0)
     parser.add_argument("--split", action="store_true",
                         help="also write datasets/{train,test}.csv")
     args = parser.parse_args()
     generate_experiment(args.train_image_nb, args.image_size, args.train_dir,
-                        args.seed, args.image_depth)
+                        args.seed, args.image_depth, args.voxel_z_over_y)
     if args.split:
         split_dataset(args.train_dir)
 

@@ -178,3 +178,28 @@ def test_pad_to():
     assert pad_to(a, 5).shape == (5, 6)
     assert pad_to(a, 2).shape == (2, 6)
     assert pad_to(a, 3) is a or (pad_to(a, 3) == a).all()
+
+
+def test_synthetic_anisotropic_objects():
+    """voxel_z_over_y > 1 generates the rats/HeLa acquisition regime:
+    objects sized by XY and z-squashed by the factor (object z extents must
+    be several times smaller than xy extents on average)."""
+    import numpy as np
+
+    from m3d.data import synthetic
+
+    rng = np.random.RandomState(0)
+    img, seg, masks, boxes, cls = synthetic.create_volume(
+        (96, 96, 12), rng, voxel_z_over_y=4.0)
+    assert boxes.shape[0] >= 3
+    xy = ((boxes[:, 3] - boxes[:, 0]) + (boxes[:, 4] - boxes[:, 1])) / 2.0
+    z = boxes[:, 5] - boxes[:, 2]
+    assert (z <= 12).all()
+    # mean anisotropy near the squash factor (rotation adds variance)
+    assert xy.mean() / z.mean() > 2.0, (xy.mean(), z.mean())
+    # isotropic control: extents comparable
+    img2, _, _, boxes2, _ = synthetic.create_volume((96, 96, 96),
+                                                    np.random.RandomState(1))
+    xy2 = ((boxes2[:, 3] - boxes2[:, 0]) + (boxes2[:, 4] - boxes2[:, 1])) / 2.0
+    z2 = boxes2[:, 5] - boxes2[:, 2]
+    assert 0.5 < xy2.mean() / z2.mean() < 2.0
