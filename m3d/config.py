@@ -13,6 +13,7 @@ reference: core/config.py:142-301.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 import numpy as np
@@ -157,6 +158,13 @@ class Config:
     """
 
     def __init__(self, **kwargs: Any) -> None:
+        # Keys the user actually set (vs defaults) — lets consumers like
+        # rpn_evaluation distinguish an explicitly-configured EVAL_TOPK_RPN
+        # cutoff from the default (which would otherwise silently widen the
+        # eval grid on every run).
+        explicit = kwargs.pop("_explicit_keys", None)
+        self._explicit_keys = frozenset(
+            explicit if explicit is not None else kwargs)
         params = dict(_DEFAULTS)
         params.update(kwargs)
         for key, value in params.items():
@@ -206,13 +214,15 @@ class Config:
         """Print all config values (reference: core/config.py:372-380)."""
         print("\nConfigurations:")
         for a in sorted(vars(self)):
-            if not a.startswith("__"):
+            if not a.startswith("_"):
                 print("{:30} {}".format(a, getattr(self, a)))
         print("\n")
 
     def to_dict(self) -> dict[str, Any]:
         out = {}
         for k, v in vars(self).items():
+            if k.startswith("_"):
+                continue
             if isinstance(v, np.ndarray):
                 v = v.tolist()
             out[k] = v
@@ -220,11 +230,54 @@ class Config:
 
     def replace(self, **kwargs: Any) -> "Config":
         """Functional update returning a new Config."""
-        d = {k: v for k, v in vars(self).items()}
+        d = {k: v for k, v in vars(self).items() if not k.startswith("_")}
         for derived in ("IMAGE_SHAPE", "BATCH_SIZE", "IMAGE_META_SIZE", "ANCHOR_NB"):
             d.pop(derived, None)
         d.update(kwargs)
+        d["_explicit_keys"] = set(self._explicit_keys) | set(kwargs)
         return Config(**d)
+
+
+def resolve_auto_confidence(config, default: float = 0.2) -> float:
+    """Resolve ``DETECTION_MIN_CONFIDENCE: "auto"``.
+
+    The reference's evaluation ends with a confidence histogram and a
+    recommended threshold the user is told to copy into their config
+    (core/models.py:7144-7164). "auto" closes that loop: it reads the
+    ``recommended_confidence`` from the last MRCNN_EVALUATION summary
+    written next to this config's OUTPUT_DIR and uses it directly, falling
+    back to the reference class default (core/config.py:67) when no
+    evaluation has run yet. Mutates config in place so graph builders that
+    bake the threshold in (m3d/models/mask_rcnn.py) see a float, and
+    returns the resolved value.
+    """
+    raw = getattr(config, "DETECTION_MIN_CONFIDENCE", default)
+    if not (isinstance(raw, str) and raw.lower() == "auto"):
+        return float(raw)
+    resolved = float(default)
+    src = None
+    out_dir = str(getattr(config, "OUTPUT_DIR", "") or "")
+    candidates = [os.path.join(out_dir, "evaluation_summary.json")]
+    # Training configs usually point OUTPUT_DIR at .../<stage>/; the eval
+    # stage of the same run family lives in a sibling directory.
+    parent = os.path.dirname(out_dir.rstrip("/"))
+    if parent:
+        candidates.append(
+            os.path.join(parent, "eval", "evaluation_summary.json"))
+    for cand in candidates:
+        try:
+            with open(cand) as f:
+                rec = json.load(f).get("recommended_confidence")
+            if rec is not None:
+                resolved, src = float(rec), cand
+                break
+        except (OSError, ValueError):
+            continue
+    print(f"[config] DETECTION_MIN_CONFIDENCE=auto -> {resolved:.3f}"
+          + (f" (from {src})" if src else f" (default; no evaluation "
+             f"summary found near {out_dir or '<unset>'})"))
+    config.DETECTION_MIN_CONFIDENCE = resolved
+    return resolved
 
 
 def load_config(config_path: str) -> Config:

@@ -61,17 +61,35 @@ class RPNGenerator:
     """
 
     def __init__(self, dataset, config, mode: str | None = None, shuffle=True,
-                 seed: int = 0, telemetry=None):
+                 seed: int = 0, telemetry=None, augment=None):
         self.dataset = dataset
         self.config = config
         self.mode = mode or config.MODE
         self.shuffle = shuffle
         self.telemetry = telemetry
+        # augment: None = mode/config default; True/False = hard override.
+        # Validation generators pass augment=False so val batches match the
+        # reference's load_image_gt(augment=False) (core/models.py:5823-5831).
+        self.augment = augment
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.batch_size = 1 if self.mode == "targeting" else config.BATCH_SIZE
         voxel = float(getattr(config, "VOXEL_Z_OVER_Y", 1.0))
         self.anchors = normalized_pyramid_anchors(config, voxel_z_over_y=voxel)
         self._order = np.arange(len(dataset.image_info))
+
+    def reset(self, seed: int | None = None):
+        """Restore the generator's rng + iteration order to its initial state.
+
+        Validation loops call this each epoch so the exact same batches (and
+        the same host-side random draws, e.g. RPN anchor subsampling in
+        build_rpn_targets) are evaluated every epoch — the reference achieves
+        this by re-creating its val generator per fit call with augment=False
+        (core/models.py:5823-5831).
+        """
+        self.rng = np.random.RandomState(self.seed if seed is None else seed)
+        self._order = np.arange(len(self.dataset.image_info))
+        return self
 
     def __len__(self):
         return max(1, len(self.dataset.image_info) // self.batch_size)
@@ -82,7 +100,10 @@ class RPNGenerator:
         image = self.dataset.load_image(image_id)
         boxes, class_ids, masks = self.dataset.load_data(image_id)
         boxes = boxes.astype(np.float32)
-        do_aug = cfg.AUGMENT if augment is None else augment
+        if self.augment is not None:
+            do_aug = self.augment
+        else:
+            do_aug = cfg.AUGMENT if augment is None else augment
         if do_aug and self.mode == "training":
             image, boxes, masks = apply_minimal_augs_3d(
                 image, boxes, masks, cfg, rng=self.rng
@@ -253,9 +274,17 @@ class HeadGenerator:
         self.dataset = dataset
         self.config = config
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.batch_size = config.BATCH_SIZE
         self._order = np.arange(len(dataset.image_info))
+
+    def reset(self, seed: int | None = None):
+        """Restore rng + order so val passes draw identical ROI samples
+        every epoch (see RPNGenerator.reset)."""
+        self.rng = np.random.RandomState(self.seed if seed is None else seed)
+        self._order = np.arange(len(self.dataset.image_info))
+        return self
 
     def __len__(self):
         return max(1, len(self.dataset.image_info) // self.batch_size)

@@ -184,7 +184,12 @@ class HeadTrainer:
         test_ds.prepare()
 
         gen = HeadGenerator(train_ds, cfg, seed=int(getattr(cfg, "SEED", 0)))
-        val_gen = HeadGenerator(test_ds, cfg, shuffle=False)
+        if len(test_ds.image_info) >= int(cfg.BATCH_SIZE):
+            val_gen = HeadGenerator(test_ds, cfg, shuffle=False)
+        else:  # split can't fill one batch: gate on train loss
+            print(f"[HEAD] test split has {len(test_ds.image_info)} images "
+                  f"< BATCH_SIZE {cfg.BATCH_SIZE}; gating on train loss")
+            val_gen = None
         self.preflight_targets(gen, num_batches=min(10, len(gen)))
 
         variables = self.init_variables()
@@ -350,10 +355,14 @@ class HeadTrainer:
                             class_names=tuple(cfg.CLASS_NAMES))
         val_ds.prepare()
         val_ds = val_ds.filter_positive()
-        if len(val_ds.image_info):
-            val_gen = RPNGenerator(val_ds, cfg, mode="e2e", shuffle=False)
+        if len(val_ds.image_info) >= int(cfg.BATCH_SIZE):
+            val_gen = RPNGenerator(val_ds, cfg, mode="e2e", shuffle=False,
+                                   augment=False)
             eval_fn = self.make_e2e_eval_step()
-        else:  # no held-out split on disk: fall back to train-loss gating
+        else:  # split can't fill one batch: fall back to train-loss gating
+            if len(val_ds.image_info):
+                print(f"[HEAD] test split has {len(val_ds.image_info)} images"
+                      f" < BATCH_SIZE {cfg.BATCH_SIZE}; gating on train loss")
             val_gen, eval_fn = None, None
         variables = self.init_variables(require_rpn=True)
         params = variables["params"]
@@ -411,7 +420,8 @@ class HeadTrainer:
             epoch_metrics = {k: float(np.mean(v)) for k, v in agg.items()}
 
             if val_gen is not None and eval_fn is not None:
-                vit = iter(val_gen)
+                vit = iter(val_gen.reset() if hasattr(val_gen, "reset")
+                           else val_gen)
                 vals: dict[str, list] = {}
                 for _ in range(min(val_steps, len(val_gen))):
                     vb = shard_batch(self.mesh, next(vit))

@@ -65,6 +65,11 @@ class MrcnnTrainer:
             getattr(config, "HEAD_WEIGHTS", None),
             getattr(config, "MASK_WEIGHTS", None),
         ])
+        # "auto" applies the last evaluation's recommended threshold
+        # (reference recommendation machinery, core/models.py:7144-7164).
+        from m3d.config import resolve_auto_confidence
+
+        resolve_auto_confidence(config)
         self.telemetry = Telemetry(config)
         self.mesh = make_mesh(config)
         self.anchors = normalized_pyramid_anchors(
@@ -252,7 +257,20 @@ class MrcnnTrainer:
         gen = MrcnnGenerator(train_ds, cfg, mode="training",
                              seed=int(getattr(cfg, "SEED", 0)),
                              telemetry=self.telemetry)
-        val_gen = MrcnnGenerator(val_ds, cfg, mode="training", shuffle=False)
+        # Validation: augment=False and a reset() per epoch so the exact same
+        # batches and RPN-target draws are scored every epoch (reference val
+        # generator uses load_image_gt augment=False, core/models.py:5823-5831).
+        # If the 20% split can't fill one batch the generator could never
+        # yield — fall back to train-loss gating like head.py's empty-split
+        # branch.
+        has_val = len(val_ds.image_info) >= int(cfg.BATCH_SIZE)
+        val_gen = (MrcnnGenerator(val_ds, cfg, mode="training", shuffle=False,
+                                  augment=False,
+                                  seed=int(getattr(cfg, "SEED", 0)) + 41)
+                   if has_val else None)
+        if not has_val:
+            print(f"[MrcnnTrainer] val split has {len(val_ds.image_info)} "
+                  f"images < BATCH_SIZE {cfg.BATCH_SIZE}; gating on train loss")
         eval_fn = self.make_eval_step(model)
         variables = self.init_variables(model)
         params = variables["params"]
@@ -299,8 +317,8 @@ class MrcnnTrainer:
 
             # Held-out validation pass; best.msgpack / LR plateau / early
             # stopping all gate on val loss (reference core/models.py:2035-2049).
-            if len(val_ds.image_info) and len(val_gen):
-                vit = iter(val_gen)
+            if val_gen is not None:
+                vit = iter(val_gen.reset())
                 vals: dict[str, list] = {}
                 for _ in range(min(val_steps, len(val_gen))):
                     vb = shard_batch(self.mesh, next(vit))

@@ -307,7 +307,10 @@ class RPNTrainer:
             # (reference _run_split, core/models.py:3638-3641).
             ratio = float(getattr(cfg, "TARGET_RATIO", 1.0))
             if ratio < 1.0:
+                total = n
                 n = max(1, int(round(ratio * n)))
+                print(f"[targeting] {split}: targeting {n}/{total} images "
+                      f"(TARGET_RATIO={ratio}); {total - n} skipped")
             if max_images:
                 n = min(n, max_images)
             split_dir = os.path.join(out_root, split)

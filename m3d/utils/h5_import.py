@@ -79,6 +79,17 @@ def _iter_layer_weights(f):
 _BN_PARAM = {"gamma": "scale", "beta": "bias"}
 _BN_STATS = {"moving_mean": "mean", "moving_variance": "var"}
 
+# The reference's BatchNorm subclass inherits the Keras default epsilon=1e-3
+# (core/models.py:102-114); m3d's flax BN uses 1e-5 (m3d/models/backbone.py).
+# Importing a Keras H5 therefore folds the difference into the moving
+# variance: (x-mean)/sqrt((var + 1e-3 - 1e-5) + 1e-5) == the Keras formula
+# (x-mean)/sqrt(var + 1e-3) exactly. Export applies the inverse shift so a
+# Keras consumer with eps=1e-3 reproduces m3d activations (the stored
+# variance may then be slightly negative for tiny variances; Keras only ever
+# adds its epsilon back before the sqrt, so this is benign).
+KERAS_BN_EPS = 1e-3
+FLAX_BN_EPS = 1e-5
+
 
 def load_keras_h5(path: str):
     """Read a reference H5 into two nested trees keyed by layer name:
@@ -103,6 +114,10 @@ def load_keras_h5(path: str):
             if leaf in _BN_PARAM:
                 params.setdefault(owner, {})[_BN_PARAM[leaf]] = arr
             elif leaf in _BN_STATS:
+                if leaf == "moving_variance":
+                    # Keras eps=1e-3 vs flax eps=1e-5 (see KERAS_BN_EPS).
+                    arr = arr.astype(np.float32) + np.float32(
+                        KERAS_BN_EPS - FLAX_BN_EPS)
                 stats.setdefault(owner, {})[_BN_STATS[leaf]] = arr
             else:
                 if leaf == "kernel" and "deconv" in owner:
@@ -193,7 +208,12 @@ def export_reference_h5(variables, path: str):
         parts = key.split("/")
         layer, leaf = parts[-2], parts[-1]
         if leaf in inv_stats:
-            layers.setdefault(layer, {})[inv_stats[leaf]] = np.asarray(val)
+            val = np.asarray(val)
+            if leaf == "var":
+                # Inverse of the import-side eps fold (see KERAS_BN_EPS).
+                val = val.astype(np.float32) - np.float32(
+                    KERAS_BN_EPS - FLAX_BN_EPS)
+            layers.setdefault(layer, {})[inv_stats[leaf]] = val
 
     order = ("kernel", "bias", "gamma", "beta", "moving_mean",
              "moving_variance")

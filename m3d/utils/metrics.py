@@ -119,8 +119,12 @@ def rpn_evaluation(predict_fn, dataset, config, max_images=None,
     topk_grid = list(getattr(config, "EVAL_TOPK_GRID", [500, 1000, 2000]))
     # The reference evaluates at the single EVAL_TOPK_RPN cutoff
     # (core/utils.py:1254); fold it into the grid so reference configs
-    # (e.g. rats EVAL_TOPK_RPN=10000) keep their meaning.
-    topk_ref = int(getattr(config, "EVAL_TOPK_RPN", 0) or 0)
+    # (e.g. rats EVAL_TOPK_RPN=10000) keep their meaning. Only an
+    # EXPLICITLY-configured cutoff widens the grid — the default (512)
+    # would otherwise silently add a column to every run.
+    explicit = getattr(config, "_explicit_keys", ())
+    topk_ref = (int(getattr(config, "EVAL_TOPK_RPN", 0) or 0)
+                if "EVAL_TOPK_RPN" in explicit else 0)
     if topk_ref and topk_ref not in topk_grid:
         topk_grid = sorted(topk_grid + [topk_ref])
     match_iou = float(getattr(config, "EVAL_MATCH_IOU", 0.5))

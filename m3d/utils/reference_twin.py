@@ -4,9 +4,11 @@ instrument.
 The reference implementation (TF1-graph Keras 2.3.1 + cp36 binary custom ops)
 cannot execute in this container, so BASELINE.md's ">= 0.99 mask IoU vs
 reference" bar is discharged by construction: this module re-derives the
-reference's post-backbone inference cascade in plain numpy, line-for-line
-against the reference sources —
+reference's inference graph in plain numpy, line-for-line against the
+reference sources —
 
+  - ResNet 3D backbone:         core/models.py:157-273 (stem + bottlenecks)
+  - FPN:                        core/models.py:3190-3214
   - RPN head convs:             core/models.py:512-584
   - ProposalLayer:              core/models.py:369-504
   - PyramidROIAlign:            core/models.py:597-688
@@ -43,33 +45,79 @@ LOG_SCALE_LIMIT = float(np.log(1000.0 / 16.0))
 # ---------------------------------------------------------------------------
 # numpy NN primitives
 # ---------------------------------------------------------------------------
-def conv3d_np(x, kernel, bias=None, padding="SAME", dilation=1):
-    """Direct 3-D convolution, stride 1. x: [N,H,W,D,Ci], kernel
-    [kh,kw,kd,Ci,Co]. Loops over the <=27 kernel offsets; each offset is one
-    vectorized multiply-add (fine at fixture sizes)."""
+def conv3d_np(x, kernel, bias=None, padding="SAME", dilation=1,
+              strides=(1, 1, 1)):
+    """Direct 3-D convolution. x: [N,H,W,D,Ci], kernel [kh,kw,kd,Ci,Co].
+    Loops over the kernel offsets; each offset is one vectorized
+    multiply-add (fine at fixture sizes). ``padding`` is "SAME", "VALID",
+    or an explicit [(lo,hi)]*3 list (the reference stem pads 3 voxels
+    explicitly before its 7^3 stride-(2,2,1) conv, core/models.py:241-244).
+    Strided output = stride-1 VALID output subsampled (identical sampling
+    positions)."""
     kh, kw, kd, ci, co = kernel.shape
     n, h, w, d, _ = x.shape
     dil = int(dilation)
-    if padding == "SAME":
-        ph, pw, pd = dil * (kh - 1) // 2, dil * (kw - 1) // 2, dil * (kd - 1) // 2
-        xp = np.pad(x, ((0, 0), (ph, ph), (pw, pw), (pd, pd), (0, 0)))
-        oh, ow, od = h, w, d
+    sy, sx, sz = (int(s) for s in strides)
+    if padding == "SAME" and (sy, sx, sz) == (1, 1, 1):
+        pads = [(dil * (kh - 1) // 2,) * 2, (dil * (kw - 1) // 2,) * 2,
+                (dil * (kd - 1) // 2,) * 2]
+    elif padding == "SAME":
+        # TF/XLA SAME-with-stride: total pad so out = ceil(in/stride).
+        def same_pad(size, k, s):
+            out = -(-size // s)
+            total = max((out - 1) * s + dil * (k - 1) + 1 - size, 0)
+            return (total // 2, total - total // 2)
+
+        pads = [same_pad(h, kh, sy), same_pad(w, kw, sx), same_pad(d, kd, sz)]
     elif padding == "VALID":
-        xp = x
-        oh = h - dil * (kh - 1)
-        ow = w - dil * (kw - 1)
-        od = d - dil * (kd - 1)
-    else:  # pragma: no cover
-        raise ValueError(padding)
+        pads = [(0, 0)] * 3
+    else:  # explicit [(lo,hi)]*3
+        pads = [tuple(p) for p in padding]
+    xp = np.pad(x, ((0, 0), *pads, (0, 0)))
+    oh = (xp.shape[1] - dil * (kh - 1) - 1) // sy + 1
+    ow = (xp.shape[2] - dil * (kw - 1) - 1) // sx + 1
+    od = (xp.shape[3] - dil * (kd - 1) - 1) // sz + 1
     out = np.zeros((n, oh, ow, od, co), np.float32)
     for i in range(kh):
         for j in range(kw):
             for k in range(kd):
-                sl = xp[:, i * dil:i * dil + oh, j * dil:j * dil + ow,
-                        k * dil:k * dil + od, :]
+                sl = xp[:, i * dil:i * dil + (oh - 1) * sy + 1:sy,
+                        j * dil:j * dil + (ow - 1) * sx + 1:sx,
+                        k * dil:k * dil + (od - 1) * sz + 1:sz, :]
                 out += sl @ kernel[i, j, k]
     if bias is not None:
         out += bias
+    return out
+
+
+def maxpool3d_np(x, window=(3, 3, 3), strides=(2, 2, 1), padding="SAME"):
+    """Max pooling with TF SAME padding (reference stem MaxPooling3D 3^3
+    stride (2,2,1), core/models.py:246)."""
+    n, h, w, d, c = x.shape
+    ky, kx, kz = window
+    sy, sx, sz = strides
+    if padding == "SAME":
+        def same_pad(size, k, s):
+            out = -(-size // s)
+            total = max((out - 1) * s + k - size, 0)
+            return (total // 2, total - total // 2)
+
+        pads = [same_pad(h, ky, sy), same_pad(w, kx, sx), same_pad(d, kz, sz)]
+    else:
+        pads = [(0, 0)] * 3
+    xp = np.pad(x, ((0, 0), *pads, (0, 0)),
+                constant_values=-np.inf)
+    oh = (xp.shape[1] - ky) // sy + 1
+    ow = (xp.shape[2] - kx) // sx + 1
+    od = (xp.shape[3] - kz) // sz + 1
+    out = np.full((n, oh, ow, od, c), -np.inf, np.float32)
+    for i in range(ky):
+        for j in range(kx):
+            for k in range(kz):
+                sl = xp[:, i:i + (oh - 1) * sy + 1:sy,
+                        j:j + (ow - 1) * sx + 1:sx,
+                        k:k + (od - 1) * sz + 1:sz, :]
+                out = np.maximum(out, sl)
     return out
 
 
@@ -248,6 +296,138 @@ def pyramid_roi_align_np(boxes, image_shape, feature_maps, pool_size):
         if ix.size:
             out[ix] = crop_and_resize_3d_np(feature_maps[level - 2], b[ix], p3)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Backbone + FPN (core/models.py:157-273, 3190-3214)
+# ---------------------------------------------------------------------------
+def flatten_by_layer(tree):
+    """Flatten a nested flax tree to {layer_name: {leaf: np.ndarray}} keyed
+    by the penultimate path component — the reference layer name
+    (res2a_branch2a, bn_conv1, fpn_p2, ...), which is unique by construction
+    in m3d's trunks regardless of flax's auto-generated intermediate module
+    names (Bottleneck_0/...)."""
+    out: dict = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+        else:
+            out.setdefault(path[-2], {})[path[-1]] = np.asarray(node)
+
+    walk({k: v for k, v in tree.items()}, [])
+    return out
+
+
+def bottleneck_np(x, P, S, stage, block, strides=(1, 1, 1),
+                  conv_shortcut=False):
+    """ResNet bottleneck (identity_block core/models.py:157-189 /
+    conv_block :192-232): 1^3 strided conv -> BN relu -> 3^3 conv -> BN relu
+    -> 1^3 conv -> BN, plus (projected) shortcut, relu(sum)."""
+    cn = f"res{stage}{block}_branch"
+    bn = f"bn{stage}{block}_branch"
+    y = conv3d_np(x, P[cn + "2a"]["kernel"], P[cn + "2a"]["bias"],
+                  "VALID", strides=strides)
+    y = relu_np(bn_np(y, P[bn + "2a"], S[bn + "2a"]))
+    y = conv3d_np(y, P[cn + "2b"]["kernel"], P[cn + "2b"]["bias"], "SAME")
+    y = relu_np(bn_np(y, P[bn + "2b"], S[bn + "2b"]))
+    y = conv3d_np(y, P[cn + "2c"]["kernel"], P[cn + "2c"]["bias"], "VALID")
+    y = bn_np(y, P[bn + "2c"], S[bn + "2c"])
+    if conv_shortcut:
+        sc = conv3d_np(x, P[cn + "1"]["kernel"], P[cn + "1"]["bias"],
+                       "VALID", strides=strides)
+        sc = bn_np(sc, P[bn + "1"], S[bn + "1"])
+    else:
+        sc = x
+    return relu_np(y + sc)
+
+
+def _stage_strides_np(level_strides):
+    """Per-stage strides from cumulative per-level BACKBONE_STRIDES —
+    independent numpy re-derivation of the trunk's stride discipline
+    (reference hardcodes z-stride 1, core/models.py:241-273; m3d generalizes
+    to per-axis factors so z-strided configs genuinely stride)."""
+    s = [tuple(int(v) for v in lv) for lv in level_strides[:4]]
+    z0 = s[0][2]
+    stem_z = 2 if z0 >= 2 else 1
+    stem, pool = (2, 2, stem_z), (2, 2, z0 // stem_z)
+    stages = [tuple(s[i][a] // s[i - 1][a] for a in range(3))
+              for i in (1, 2, 3)]
+    return stem, pool, stages
+
+
+def resnet_graph_np(image, P, S, architecture="resnet50",
+                    level_strides=((4, 4, 1), (8, 8, 1), (16, 16, 1),
+                                   (32, 32, 1), (64, 64, 1))):
+    """resnet_graph (core/models.py:235-273): pad-3 7^3 strided stem conv,
+    BN relu, 3^3 maxpool, four bottleneck stages. Returns (C2, C3, C4, C5).
+    P/S: flatten_by_layer views of the trunk params / batch_stats."""
+    stem_s, pool_s, (s3, s4, s5) = _stage_strides_np(level_strides)
+    x = conv3d_np(image.astype(np.float32), P["conv1"]["kernel"],
+                  P["conv1"]["bias"], [(3, 3)] * 3, strides=stem_s)
+    x = relu_np(bn_np(x, P["bn_conv1"], S["bn_conv1"]))
+    x = maxpool3d_np(x, (3, 3, 3), pool_s, "SAME")
+
+    def stage(x, stage_id, n_identity, first_strides):
+        x = bottleneck_np(x, P, S, stage_id, "a", first_strides,
+                          conv_shortcut=True)
+        for i in range(n_identity):
+            x = bottleneck_np(x, P, S, stage_id, chr(98 + i))
+        return x
+
+    c2 = x = stage(x, 2, 2, (1, 1, 1))
+    c3 = x = stage(x, 3, 3, s3)
+    n4 = {"resnet50": 5, "resnet101": 22}[architecture]
+    c4 = x = stage(x, 4, n4, s4)
+    c5 = stage(x, 5, 2, s5)
+    return c2, c3, c4, c5
+
+
+def _upsample_np(x, factors, ref_shape):
+    for axis, f in zip((1, 2, 3), factors):
+        if f > 1:
+            x = np.repeat(x, f, axis=axis)
+    return x[:, : ref_shape[1], : ref_shape[2], : ref_shape[3], :]
+
+
+def fpn_np(c2, c3, c4, c5, P, level_strides):
+    """FPN (core/models.py:3190-3214): P5 = 1^3 conv of C5; top-down nearest
+    upsampling + 1^3 lateral convs; 3^3 smoothing convs; P6 = strided
+    subsample of P5 (MaxPooling3D pool (1,1,1) stride ratio). Returns
+    [P2..P6]."""
+    s = [tuple(int(v) for v in lv) for lv in level_strides]
+    ups = [tuple(s[i + 1][a] // s[i][a] for a in range(3)) for i in (2, 1, 0)]
+    f54, f43, f32 = ups
+    c1 = lambda x, n: conv3d_np(x, P[n]["kernel"], P[n]["bias"], "VALID")  # noqa: E731
+    c3_ = lambda x, n: conv3d_np(x, P[n]["kernel"], P[n]["bias"], "SAME")  # noqa: E731
+
+    p5 = c1(c5, "fpn_c5p5")
+    p4 = _upsample_np(p5, f54, c4.shape) + c1(c4, "fpn_c4p4")
+    p3 = _upsample_np(p4, f43, c3.shape) + c1(c3, "fpn_c3p3")
+    p2 = _upsample_np(p3, f32, c2.shape) + c1(c2, "fpn_c2p2")
+
+    p2 = c3_(p2, "fpn_p2")
+    p3 = c3_(p3, "fpn_p3")
+    p4 = c3_(p4, "fpn_p4")
+    p5 = c3_(p5, "fpn_p5")
+    sy, sx, sz = (s[4][a] // s[3][a] for a in range(3))
+    p6 = p5[:, ::sy, ::sx, ::sz, :]
+    return [p2, p3, p4, p5, p6]
+
+
+def twin_backbone_fpn(image, params, batch_stats, cfg):
+    """Raw image -> FPN feature maps [P2..P6], the pre-feature half of the
+    reference inference graph (resnet_graph + inline FPN,
+    core/models.py:157-273, 3190-3214). params/batch_stats: the full m3d
+    variables trees (the trunk lives under params['resnet'] / ['fpn'])."""
+    P = flatten_by_layer(params["resnet"])
+    S = flatten_by_layer(batch_stats.get("resnet", {}))
+    lvl = [tuple(int(v) for v in s) for s in cfg.BACKBONE_STRIDES]
+    c2, c3, c4, c5 = resnet_graph_np(
+        image, P, S, architecture=str(cfg.BACKBONE), level_strides=lvl)
+    PF = flatten_by_layer(params["fpn"])
+    return fpn_np(c2, c3, c4, c5, PF, lvl)
 
 
 # ---------------------------------------------------------------------------

@@ -43,8 +43,19 @@ def _perturb_batch_stats(stats, key):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-@pytest.fixture(scope="module")
-def fixture():
+@pytest.fixture(scope="module", params=["iso", "aniso"])
+def fixture(request):
+    """Two golden fixtures: the isotropic 64x64x8 shape and an anisotropic
+    one with a z-stride-2 pyramid + VOXEL_Z_OVER_Y anchors (the rats/HeLa
+    regime shape discipline, reference configs/rpn/scp_rpn_hela.json,
+    core/utils.py:1026-1142)."""
+    aniso = request.param == "aniso"
+    extra = dict(
+        IMAGE_DEPTH=16,
+        BACKBONE_STRIDES=[(4, 4, 2), (8, 8, 2), (16, 16, 2), (32, 32, 2),
+                          (64, 64, 2)],
+        VOXEL_Z_OVER_Y=4.0,
+    ) if aniso else {}
     cfg = tiny_train_config(
         "/tmp/golden_unused",
         COMPUTE_DTYPE="float32",
@@ -55,6 +66,7 @@ def fixture():
         POST_NMS_ROIS_INFERENCE=64,
         PRE_NMS_LIMIT=256,
         MODE="inference",
+        **extra,
     )
     model = MaskRCNN.from_config(cfg, mode="inference")
     key = jax.random.PRNGKey(20260820)
@@ -68,10 +80,14 @@ def fixture():
         params["classifier"][name]["kernel"] = (
             params["classifier"][name]["kernel"] * 40.0)
 
-    image = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 64, 8, 1),
-                              jnp.float32)
+    image = jax.random.normal(
+        jax.random.PRNGKey(3),
+        (1, int(cfg.IMAGE_SIZE), int(cfg.IMAGE_SIZE),
+         int(cfg.IMAGE_DEPTH), 1), jnp.float32)
     meta = np.stack([default_meta(cfg)])
-    anchors = np.asarray(normalized_pyramid_anchors(cfg), np.float32)
+    anchors = np.asarray(normalized_pyramid_anchors(
+        cfg, voxel_z_over_y=float(getattr(cfg, "VOXEL_Z_OVER_Y", 1.0))),
+        np.float32)
 
     out = jax.device_get(jax.jit(
         lambda v, im, mt, an: model.apply(v, im, mt, an)
@@ -81,13 +97,14 @@ def fixture():
         model.apply(variables, image, method=MaskRCNN.extract_features))]
     params_np = jax.device_get(variables["params"])
     stats_np = jax.device_get(variables["batch_stats"])
-    return cfg, out, feats, params_np, stats_np, anchors, meta
+    return cfg, out, feats, params_np, stats_np, anchors, meta, \
+        np.asarray(image, np.float32)
 
 
 def test_rpn_and_proposals_match(fixture):
     """RPN head + ProposalLayer parity from shared feature maps: same kept
     boxes, same score order, same zero padding (core/models.py:369-584)."""
-    cfg, out, feats, params, stats, anchors, meta = fixture
+    cfg, out, feats, params, stats, anchors, meta, _img = fixture
     _, probs, deltas = twin.rpn_head_np([f for f in feats], params["rpn"])
     ref_props = twin.proposal_layer_np(
         probs[0], deltas[0], anchors, cfg.RPN_BBOX_STD_DEV,
@@ -102,7 +119,7 @@ def test_rpn_and_proposals_match(fixture):
 def test_classifier_match(fixture):
     """PyramidROIAlign + fpn_classifier_graph parity on m3d's proposals
     (core/models.py:597-688, 1121-1189)."""
-    cfg, out, feats, params, stats, anchors, meta = fixture
+    cfg, out, feats, params, stats, anchors, meta, _img = fixture
     props = np.asarray(out["proposals"][0])
     pooled = twin.pyramid_roi_align_np(
         props, meta[0, 5:8], [f[0] for f in feats[:4]], int(cfg.POOL_SIZE))
@@ -119,7 +136,7 @@ def test_detections_match(fixture):
     """refine_detections parity on m3d's classifier outputs: same boxes,
     same order, same count (core/models.py:1415-1529, incl. the 2-D
     footprint NMS quirk)."""
-    cfg, out, feats, params, stats, anchors, meta = fixture
+    cfg, out, feats, params, stats, anchors, meta, _img = fixture
     det_ref, valid_ref = twin.refine_detections_np(
         np.asarray(out["proposals"][0]),
         np.asarray(out["mrcnn_probs"][0]),
@@ -138,7 +155,7 @@ def test_masks_match(fixture):
     """ROIAlign + mask head parity on m3d's detections: sigmoid outputs to
     ~5e-4 and thresholded-mask IoU >= 0.99 — the BASELINE.md golden bar
     (core/models.py:1191-1238)."""
-    cfg, out, feats, params, stats, anchors, meta = fixture
+    cfg, out, feats, params, stats, anchors, meta, _img = fixture
     det = np.asarray(out["detections"][0])
     valid = np.asarray(out["detections_valid"][0])
     n = int(valid.sum())
@@ -159,3 +176,20 @@ def test_masks_match(fixture):
     iou = np.logical_and(a, b).sum() / max(union, 1)
     if union:
         assert iou >= 0.99, f"thresholded mask IoU {iou:.4f} < 0.99"
+
+
+def test_backbone_fpn_match(fixture):
+    """Raw image -> P2..P6 parity: the numpy twin's resnet_graph + FPN
+    (strided stem, bottleneck stages, top-down pathway, P6 subsample) must
+    reproduce m3d's extract_features (reference core/models.py:157-273,
+    3190-3214). With test_rpn_and_proposals_match onward, the golden chain
+    now covers the inference graph from raw voxels to masks."""
+    cfg, out, feats, params, stats, anchors, meta, img = fixture
+    ref_feats = twin.twin_backbone_fpn(img, params, stats, cfg)
+    assert len(ref_feats) == len(feats) == 5
+    for lvl, (got, want) in enumerate(zip(feats, ref_feats)):
+        assert got.shape == want.shape, (lvl, got.shape, want.shape)
+        scale = max(1.0, float(np.abs(want).max()))
+        np.testing.assert_allclose(
+            got, want, atol=2e-3 * scale, rtol=1e-3,
+            err_msg=f"P{lvl + 2}")

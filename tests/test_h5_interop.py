@@ -67,8 +67,11 @@ def test_h5_roundtrip_exact(tiny, tmp_path):
                                       err_msg=key)
     for key, want in _leaves(variables["batch_stats"]).items():
         got = _leaves(merged["batch_stats"])[key]
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
-                                      err_msg=key)
+        # Export subtracts the Keras/flax BN-eps delta from var, import adds
+        # it back — bit-exactness of the round-trip is only up to one f32
+        # add/sub pair on var leaves.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6, err_msg=key)
 
 
 def test_infer_head_params(tiny, tmp_path):
@@ -250,9 +253,67 @@ def test_keras231_timedistributed_layout_loads_fully(tiny, tmp_path):
         assert stats["batch_stats"].get("missing", 0) == 0, stats
         wb, gb = _leaves(donor["batch_stats"]), _leaves(
             merged["batch_stats"])
+        from m3d.utils.h5_import import FLAX_BN_EPS, KERAS_BN_EPS
+
         for k in wb:
-            np.testing.assert_array_equal(
-                np.asarray(gb[k]), np.asarray(wb[k]), err_msg=k)
+            want = np.asarray(wb[k])
+            if k.endswith("/var"):
+                # A genuine Keras file's variance pairs with eps=1e-3; the
+                # importer folds the eps delta in so flax BN (eps=1e-5)
+                # reproduces the Keras activations.
+                want = want + np.float32(KERAS_BN_EPS - FLAX_BN_EPS)
+            np.testing.assert_allclose(
+                np.asarray(gb[k]), want, rtol=1e-6, err_msg=k)
+
+
+def test_imported_bn_matches_keras_formula(tmp_path):
+    """Activation-level interop: running the real BNRelu module on stats
+    imported from a Keras-layout H5 must reproduce the Keras BatchNorm
+    formula gamma*(x-mean)/sqrt(var+1e-3)+beta — the reference's BatchNorm
+    inherits Keras' default epsilon=1e-3 (core/models.py:102-114) while
+    flax uses 1e-5; the importer folds the difference into var."""
+    import jax.numpy as jnp
+
+    from m3d.models.backbone import BNRelu
+    from m3d.utils.h5_import import load_keras_h5
+
+    rng = np.random.RandomState(0)
+    C = 8
+    gamma = rng.rand(C).astype(np.float32) + 0.5
+    beta = rng.randn(C).astype(np.float32)
+    mean = rng.randn(C).astype(np.float32)
+    # Include tiny variances — where the eps mismatch bites hardest.
+    var = np.concatenate([
+        rng.rand(C - 4).astype(np.float32) + 0.5,
+        np.asarray([1e-4, 1e-3, 1e-2, 2.0], np.float32)])
+
+    path = str(tmp_path / "bn.h5")
+    with h5py.File(path, "w") as f:
+        g = f.create_group("bn_test")
+        wnames = []
+        for leaf, arr in (("gamma", gamma), ("beta", beta),
+                          ("moving_mean", mean), ("moving_variance", var)):
+            wn = f"bn_test/{leaf}:0"
+            g.create_dataset(wn, data=arr)
+            wnames.append(np.bytes_(wn))
+        g.attrs["weight_names"] = wnames
+        f.attrs["layer_names"] = [np.bytes_("bn_test")]
+
+    params, stats = load_keras_h5(path)
+    x = rng.randn(2, 4, 4, 2, C).astype(np.float32)
+
+    mod = BNRelu(name_bn="bn_test", train_bn=False, relu=False,
+                 dtype=jnp.float32)
+    variables = {
+        "params": {"bn_test": {"scale": jnp.asarray(params["bn_test"]["scale"]),
+                               "bias": jnp.asarray(params["bn_test"]["bias"])}},
+        "batch_stats": {"bn_test": {
+            "mean": jnp.asarray(stats["bn_test"]["mean"]),
+            "var": jnp.asarray(stats["bn_test"]["var"])}},
+    }
+    got = np.asarray(mod.apply(variables, x))
+    keras = gamma * (x - mean) / np.sqrt(var + 1e-3) + beta
+    np.testing.assert_allclose(got, keras, rtol=1e-5, atol=1e-5)
 
 
 def test_restore_casts_to_target_dtype():

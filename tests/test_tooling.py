@@ -112,3 +112,41 @@ def test_visualize_prediction_metrics(tmp_path, monkeypatch):
     assert report["instance"]["tp"] == 1
     assert report["instance"]["fp"] == 1
     assert report["instance"]["fn"] == 1
+
+
+def test_resolve_auto_confidence(tmp_path):
+    """DETECTION_MIN_CONFIDENCE="auto" applies the last evaluation's
+    recommended threshold (reference recommendation machinery,
+    core/models.py:7144-7164); numeric values pass through; missing
+    summaries fall back to the reference class default 0.2."""
+    import json as _json
+
+    from m3d.config import Config, resolve_auto_confidence
+
+    # numeric passthrough
+    cfg = Config(DETECTION_MIN_CONFIDENCE=0.4)
+    assert resolve_auto_confidence(cfg) == pytest.approx(0.4)
+
+    # auto + summary in OUTPUT_DIR
+    out = tmp_path / "eval"
+    out.mkdir()
+    (out / "evaluation_summary.json").write_text(
+        _json.dumps({"recommended_confidence": 0.57}))
+    cfg = Config(DETECTION_MIN_CONFIDENCE="auto", OUTPUT_DIR=str(out))
+    assert resolve_auto_confidence(cfg) == pytest.approx(0.57)
+    assert float(cfg.DETECTION_MIN_CONFIDENCE) == pytest.approx(0.57)
+
+    # auto + summary in the sibling eval/ of the same run family
+    stage = tmp_path / "fam" / "head"
+    stage.mkdir(parents=True)
+    ev = tmp_path / "fam" / "eval"
+    ev.mkdir()
+    (ev / "evaluation_summary.json").write_text(
+        _json.dumps({"recommended_confidence": 0.61}))
+    cfg = Config(DETECTION_MIN_CONFIDENCE="auto", OUTPUT_DIR=str(stage))
+    assert resolve_auto_confidence(cfg) == pytest.approx(0.61)
+
+    # auto + nothing on disk -> reference default
+    cfg = Config(DETECTION_MIN_CONFIDENCE="auto",
+                 OUTPUT_DIR=str(tmp_path / "nowhere"))
+    assert resolve_auto_confidence(cfg) == pytest.approx(0.2)
