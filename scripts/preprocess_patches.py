@@ -115,10 +115,12 @@ def process_split(pairs, split, out_root, patch, stride, max_instances):
 
             inst = instance_masks(spatch, max_instances)
             mask_file = os.path.join(dirs["masks"], f"{tag}_seg.pickle")
-            # masks stored (Y, X, Z, N) like the synthetic generator output
+            # masks stored (Z, Y, X, N) z-stacks, the on-disk convention the
+            # synthetic generator writes and ToyDataset.load_data expects
+            # (it transposes to (Y, X, Z, N) on load, m3d/data/datasets.py;
+            # reference core/data_generators.py:1672-1714).
             with bz2.BZ2File(mask_file, "wb") as fh:
-                pickle.dump(inst.transpose(1, 2, 0, 3).astype(np.float32),
-                            fh, protocol=4)
+                pickle.dump(inst.astype(np.float32), fh, protocol=4)
 
             cab_file = os.path.join(dirs["classes_and_boxes"],
                                     f"{tag}_image.dat")

@@ -146,7 +146,9 @@ def test_resolve_auto_confidence(tmp_path):
     cfg = Config(DETECTION_MIN_CONFIDENCE="auto", OUTPUT_DIR=str(stage))
     assert resolve_auto_confidence(cfg) == pytest.approx(0.61)
 
-    # auto + nothing on disk -> reference default
-    cfg = Config(DETECTION_MIN_CONFIDENCE="auto",
-                 OUTPUT_DIR=str(tmp_path / "nowhere"))
+    # auto + nothing on disk -> reference default (isolated dir: the
+    # sibling-eval lookup must not see summaries of other run families)
+    bare = tmp_path / "bare" / "stage"
+    bare.mkdir(parents=True)
+    cfg = Config(DETECTION_MIN_CONFIDENCE="auto", OUTPUT_DIR=str(bare))
     assert resolve_auto_confidence(cfg) == pytest.approx(0.2)
