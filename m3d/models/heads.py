@@ -81,7 +81,16 @@ class ClassifierHead(nn.Module):
             dtype=jnp.float32,
             name="mrcnn_class_logits",
         )(shared.astype(jnp.float32))
-        logits = jnp.clip(logits, -10.0, 10.0)
+        # Reference ±10 clip (core/models.py logit clipping) applied
+        # straight-through: forward value is the clipped logit, but the
+        # gradient passes as identity. A hard jnp.clip has ZERO gradient
+        # outside the band, so one early large-LR step that pushes both
+        # logits past -10 kills the classifier permanently (softmax sees
+        # two equal clipped values; no gradient can ever pull them back) —
+        # the e2e collapse ANISO.md documents. Straight-through keeps the
+        # forward semantics identical while letting training recover.
+        logits = logits + jax.lax.stop_gradient(
+            jnp.clip(logits, -10.0, 10.0) - logits)
         probs = jax.nn.softmax(logits, axis=-1)
 
         bbox = nn.Dense(

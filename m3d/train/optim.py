@@ -50,6 +50,25 @@ def decay_mask(params):
     )
 
 
+def _clip_by_leaf_norm(max_norm: float) -> "optax.GradientTransformation":
+    """Keras ``clipnorm`` semantics: clip EACH gradient tensor to L2 norm
+    ``max_norm`` independently (tf.keras.optimizers clipnorm; the reference
+    passes it per-optimizer in OPTIMIZER.parameters)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_leaf(g):
+            n = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-12))
+            return (g.astype(jnp.float32) * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
 def build_optimizer(config, params=None, learning_rate=None,
                     freeze_predicate=None):
     """Returns an optax.GradientTransformation.
@@ -94,6 +113,19 @@ def build_optimizer(config, params=None, learning_rate=None,
     chain = []
     if wd > 0:
         chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+    # Keras-style per-variable clipnorm from OPTIMIZER.parameters — the
+    # reference's anisotropic (rats/HeLa) configs rely on it
+    # (configs/heads/scp_heads_rats.json: Adam clipnorm=5.0;
+    # configs/rpn/scp_rpn_rats.json: SGD clipnorm=5.0). Silently dropping
+    # it lets the first large-LR steps blow the head activations past the
+    # saturating loss nonlinearities (±10 logit clip, tanh-Huber), after
+    # which the class/bbox branches receive ~zero gradient forever —
+    # exactly the collapse ANISO.md documents for the v2 run. Keras clips
+    # each gradient tensor by its own L2 norm, so this is per-leaf, not
+    # global.
+    clipnorm = float(p.get("clipnorm", 0.0) or 0.0)
+    if clipnorm > 0:
+        chain.append(_clip_by_leaf_norm(clipnorm))
     clip = float(getattr(config, "GRADIENT_CLIP_NORM", 0.0) or 0.0)
     if clip > 0:
         chain.append(optax.clip_by_global_norm(clip))

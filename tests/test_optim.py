@@ -117,3 +117,65 @@ def test_rpn_evaluation_feeds_telemetry(tmp_path):
     assert tel.cnt["prop_hits"] > 0
     assert len(tel.hist["roi_xy"]) > 0
     assert len(tel.hist["roi_dz"]) > 0
+
+
+def test_keras_clipnorm_clips_per_leaf():
+    """OPTIMIZER.parameters.clipnorm (the reference's rats-regime configs:
+    scp_heads_rats.json Adam clipnorm=5.0, scp_rpn_rats.json SGD
+    clipnorm=5.0) must clip EACH gradient tensor to the given L2 norm —
+    Keras semantics, not global-norm. Silently dropping it reproduces the
+    ANISO.md v2 collapse (first large step saturates the head)."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(OPTIMIZER={"name": "SGD",
+                          "parameters": {"learning_rate": 1.0,
+                                         "momentum": 0.0,
+                                         "clipnorm": 5.0}})
+    tx = build_optimizer(cfg)
+    params = {"big": jnp.zeros(100), "small": jnp.zeros(4)}
+    grads = {"big": jnp.full(100, 3.0), "small": jnp.full(4, 0.5)}
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    # lr=1.0, so |update| == |clipped grad|.
+    assert np.isclose(float(jnp.linalg.norm(updates["big"])), 5.0, atol=1e-4)
+    # The small leaf (norm 1.0) passes through unclipped — per-leaf, not
+    # global (global-norm clipping would scale it down too).
+    assert np.isclose(float(jnp.linalg.norm(updates["small"])), 1.0,
+                      atol=1e-4)
+
+
+def test_classifier_logit_clip_passes_gradient_when_saturated():
+    """The ±10 logit clip is straight-through: the forward value is
+    clipped (reference parity) but gradients flow even when every logit
+    sits outside the band. A hard clip has zero gradient there, which
+    permanently kills the classifier once one bad step saturates it —
+    the failure mode ANISO.md documents for the v2 e2e run."""
+    import jax
+    import jax.numpy as jnp
+
+    from m3d.models.heads import ClassifierHead
+
+    head = ClassifierHead(pool_size=3, num_classes=2, fc_layers_size=16)
+    x0 = jnp.ones((1, 4, 3, 3, 3, 8))
+    variables = head.init(jax.random.PRNGKey(0), x0)
+    # Force saturation through the logits bias (both columns far below
+    # the clip floor — the dead-head state observed in the aniso v2 run).
+    variables = jax.tree_util.tree_map(lambda a: a, variables)
+    params = variables["params"]
+    params["mrcnn_class_logits"]["bias"] = jnp.array([-100.0, -120.0])
+    saturated = {**variables, "params": params}
+
+    logits, _, _ = head.apply(saturated, x0)
+    assert float(jnp.max(logits)) <= 10.0
+    assert float(jnp.min(logits)) >= -10.0
+
+    def loss(p):
+        lg, _, _ = head.apply({**saturated, "params": p}, x0)
+        # Cross-entropy-like pull toward class 1: depends on the logit
+        # DIFFERENCE, which the clip has flattened to zero.
+        return -jnp.mean(jax.nn.log_softmax(lg)[..., 1])
+
+    grads = jax.grad(loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0.0, "saturated clip must not zero all gradients"
