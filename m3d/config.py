@@ -97,6 +97,10 @@ _DEFAULTS: dict[str, Any] = {
     "EPOCHS": 1,
     "FROM_EPOCH": 0,
     "WEIGHT_DECAY": 0.0001,
+    # Opt-in reference-exact L2 decay: divide each tensor's penalty by its
+    # element count (reference core/models.py:3380-3384). Default keeps the
+    # Keras-conventional un-normalized decay all committed runs trained with.
+    "WEIGHT_DECAY_SIZE_NORMALIZED": False,
     "EVAL_TOPK_RPN": 512,
     "EVAL_MATCH_IOU": 0.50,
     "EVAL_MATCH_IOU_GRID": [0.30, 0.40, 0.50],

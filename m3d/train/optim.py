@@ -50,6 +50,51 @@ def decay_mask(params):
     )
 
 
+def _add_size_normalized_decay(wd: float) -> "optax.GradientTransformation":
+    """Reference-exact L2 term: the reference divides each tensor's
+    ``0.5*WD*||w||^2`` penalty by ``tf.size(w)`` (core/models.py:3380-3384),
+    so the gradient contribution is ``WD * w / size(w)`` — orders of
+    magnitude smaller than plain ``add_decayed_weights`` for large kernels.
+    Opt-in via ``WEIGHT_DECAY_SIZE_NORMALIZED`` (see MIGRATING.md; the m3d
+    default keeps the un-normalized Keras-conventional decay that every
+    committed run trained with)."""
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("size-normalized decay requires params")
+        mask = decay_mask(params)
+
+        def add(g, w, m):
+            if not m:
+                return g
+            return g + (wd / float(np.prod(w.shape))) * w.astype(g.dtype)
+
+        return jax.tree_util.tree_map(add, updates, params, mask), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(),
+                                        update_fn)
+
+
+def _keras_iteration_decay(decay: float) -> "optax.GradientTransformation":
+    """Keras-1.x/2.x SGD ``decay``: ``lr_t = lr / (1 + decay * iterations)``
+    (the reference's rats RPN config passes ``decay: 1e-4``,
+    configs/rpn/scp_rpn_rats.json). Realized as a post-lr multiplicative
+    schedule so it composes with the injected, host-mutable base lr."""
+    return optax.scale_by_schedule(lambda count: 1.0 / (1.0 + decay * count))
+
+
+# OPTIMIZER.parameters keys each optimizer consumes (after _normalize_params
+# aliasing); anything else is warned about instead of silently dropped.
+_KNOWN_PARAMS = {
+    "sgd": {"learning_rate", "momentum", "nesterov", "clipnorm", "decay"},
+    "adadelta": {"learning_rate", "rho", "epsilon", "clipnorm", "decay"},
+    "adam": {"learning_rate", "beta_1", "beta_2", "epsilon", "clipnorm",
+             "decay"},
+    "adamw": {"learning_rate", "beta_1", "beta_2", "epsilon", "clipnorm",
+              "decay"},
+}
+
+
 def _clip_by_leaf_norm(max_norm: float) -> "optax.GradientTransformation":
     """Keras ``clipnorm`` semantics: clip EACH gradient tensor to L2 norm
     ``max_norm`` independently (tf.keras.optimizers clipnorm; the reference
@@ -107,12 +152,20 @@ def build_optimizer(config, params=None, learning_rate=None,
                               eps=float(p.get("epsilon", 1e-8)))
     else:
         raise ValueError(f"unsupported optimizer: {spec}")
+    unknown = set(p) - _KNOWN_PARAMS.get(name, set())
+    if unknown:
+        print(f"[build_optimizer] WARNING: OPTIMIZER.parameters keys "
+              f"{sorted(unknown)} are not supported for {name!r} and are "
+              f"ignored")
     base = optax.inject_hyperparams(base_fn)(learning_rate=lr)
 
     wd = float(getattr(config, "WEIGHT_DECAY", 0.0))
     chain = []
     if wd > 0:
-        chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
+        if bool(getattr(config, "WEIGHT_DECAY_SIZE_NORMALIZED", False)):
+            chain.append(_add_size_normalized_decay(wd))
+        else:
+            chain.append(optax.add_decayed_weights(wd, mask=decay_mask))
     # Keras-style per-variable clipnorm from OPTIMIZER.parameters — the
     # reference's anisotropic (rats/HeLa) configs rely on it
     # (configs/heads/scp_heads_rats.json: Adam clipnorm=5.0;
@@ -130,6 +183,9 @@ def build_optimizer(config, params=None, learning_rate=None,
     if clip > 0:
         chain.append(optax.clip_by_global_norm(clip))
     chain.append(base)
+    decay = float(p.get("decay", 0.0) or 0.0)
+    if decay > 0:
+        chain.append(_keras_iteration_decay(decay))
     tx = optax.chain(*chain)
 
     if freeze_predicate is not None:

@@ -1,0 +1,28 @@
+#!/bin/bash
+# Round-5 continuation of the 128^3 convergence arc (VERDICT r4 item 2):
+# resume RPN epochs 10->22 past det@0.5 plateau, retrain e2e head FRESH on
+# the finished trunk (warm-starting mrcnn_* from the r4 epoch-1 best_head),
+# evaluate with auto confidence, re-pack the bench checkpoint.
+set -uo pipefail
+cd /root/repo || exit 1
+LOG=runs/milestone128/logs
+mkdir -p "$LOG"
+
+stage() {
+  local task=$1 cfg=$2 name=$3
+  echo "=== [$(date +%T)] $task ($cfg) ==="
+  timeout 14000 python main.py --task "$task" --config_path "$cfg" \
+    > "$LOG/$name.log" 2>&1
+  local rc=$?
+  echo "=== [$(date +%T)] $task rc=$rc ==="
+  tail -3 "$LOG/$name.log"
+  if [ $rc -ne 0 ]; then echo "STAGE FAILED: $task"; exit $rc; fi
+}
+
+stage RPN_TRAINING     configs/milestone128/rpn_synth128_resume.json       rpn_r5
+stage HEAD_TRAINING    configs/milestone128/heads_e2e_synth128_resume.json head_r5
+stage MRCNN_EVALUATION configs/milestone128/mrcnn_eval_synth128_resume.json eval_r5
+python scripts/pack_bench_ckpt.py \
+  /root/repo/runs/milestone128/head2/weights/best.msgpack \
+  /root/repo/weights/bench_ckpt.f16.msgpack || { echo "PACK FAILED"; exit 1; }
+echo "=== MILESTONE128 R5 COMPLETE ==="

@@ -179,3 +179,66 @@ def test_classifier_logit_clip_passes_gradient_when_saturated():
     gnorm = sum(float(jnp.sum(jnp.abs(g)))
                 for g in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0.0, "saturated clip must not zero all gradients"
+
+
+def test_keras_iteration_decay_schedule():
+    """OPTIMIZER.parameters.decay follows Keras lr_t = lr/(1+decay*t)
+    (reference configs/rpn/scp_rpn_rats.json passes decay=1e-4)."""
+    import jax.numpy as jnp
+
+    decay = 0.5
+    params = {"w": jnp.ones((3,))}
+    cfg = _cfg(OPTIMIZER={"name": "SGD",
+                          "parameters": {"learning_rate": 0.1,
+                                         "momentum": 0.0,
+                                         "decay": decay}})
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = {"w": jnp.ones((3,))}
+    for t in range(3):
+        updates, state = tx.update(grads, state, params)
+        expected = -0.1 / (1.0 + decay * t)
+        np.testing.assert_allclose(np.asarray(updates["w"]),
+                                   expected * np.ones(3), rtol=1e-6)
+
+
+def test_unknown_optimizer_params_warn():
+    """Unsupported OPTIMIZER.parameters keys must be loudly dropped, not
+    silently (the clipnorm collapse of ANISO.md v2 came from a silent drop)."""
+    import contextlib
+    import io
+
+    import jax.numpy as jnp
+
+    params = {"w": jnp.ones((3,))}
+    cfg = _cfg(OPTIMIZER={"name": "SGD",
+                          "parameters": {"learning_rate": 0.1,
+                                         "amsgrad": True}})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        build_optimizer(cfg, params)
+    out = buf.getvalue()
+    assert "WARNING" in out and "amsgrad" in out
+
+
+def test_size_normalized_decay_matches_reference_l2():
+    """WEIGHT_DECAY_SIZE_NORMALIZED=true reproduces the reference's
+    per-tensor-size L2 gradient WD*w/size(w) (core/models.py:3380-3384);
+    BN gamma/beta stay exempt."""
+    import jax.numpy as jnp
+
+    wd = 0.01
+    params = {"conv": {"kernel": jnp.full((2, 4), 3.0)},
+              "bn1": {"scale": jnp.full((4,), 5.0)}}
+    cfg = _cfg(WEIGHT_DECAY=wd, WEIGHT_DECAY_SIZE_NORMALIZED=True)
+    tx = build_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = {"conv": {"kernel": jnp.zeros((2, 4))},
+             "bn1": {"scale": jnp.zeros((4,))}}
+    updates, _ = tx.update(grads, state, params)
+    # update = -lr * (wd * w / size); size=8
+    np.testing.assert_allclose(np.asarray(updates["conv"]["kernel"]),
+                               -0.1 * wd * 3.0 / 8 * np.ones((2, 4)),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["bn1"]["scale"]),
+                               np.zeros((4,)), atol=1e-12)
