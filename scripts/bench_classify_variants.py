@@ -18,6 +18,24 @@ times the handoff variants in-context to find where the 11 ms actually goes:
                         being charged to the stage?)
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/bench_classify_variants.py
+
+Measured (r05 code, 128^3 B=4, 2000 ROIs, TOP_DOWN 256, FC 512):
+
+  V0 gather->sum          24.39 ms   <- the gather itself is the floor
+  V1 gather->classifier   35.48 ms   (shipped path)
+  V2 gather->fc           35.23 ms   -> BN/logits/bbox beyond FC: ~0.3 ms
+  V3 gather3d->fc         49.98 ms   -> 3-D-layout gather is WORSE
+  V4 stored->fc            1.09 ms   -> the FC matmul is ~1 ms
+  V5 gather->fc.bf16w     35.41 ms   -> kernel cast is free
+
+Reading: the ~11 ms "materialization penalty" is entirely the XLA gather's
+written-output form (35.2 - 24.4 - 1.1 ~= 9.7 ms): when the gather feeds a
+matmul its output must materialize and the gather loses its fused-reduction
+codegen. The FC itself is speed-of-light (1 ms). Both recoveries must come
+from the gather: either a written-gather at HBM-bandwidth cost (the slab-DMA
+pallas kernel's floor is 11.8 ms, but its per-ROI separable-interp chain
+drags it to 48.2 — see pallas_roialign.py) or batching that interp chain
+across ROIs.
 """
 
 import time
@@ -157,7 +175,8 @@ def main():
     boxes = jnp.asarray(np.concatenate([lo, np.minimum(lo + ext, 1.0)], -1))
     bidx = jnp.asarray(np.repeat(np.arange(batch, dtype=np.int32), 500))
 
-    k1 = variables["params"]["mrcnn_class_conv1"]["kernel"]  # [7,7,7,C,F]
+    k1 = variables["params"]["classifier"]["mrcnn_class_conv1"][
+        "kernel"]  # [7,7,7,C,F]
     k1_bf = jax.device_put(k1.astype(jnp.bfloat16))
     k1_flat_bf = jax.device_put(
         np.asarray(k1, np.float32).reshape(-1, k1.shape[-1]).astype(
@@ -178,7 +197,8 @@ def main():
         "V2 gather->conv3d_fc",
         lambda c, b, v, f: conv3d_fc(
             ra.pyramid_roi_align_flat(b + c * 1e-3, bidx, meta, list(f), p),
-            v["params"]["mrcnn_class_conv1"]["kernel"].astype(jnp.bfloat16)),
+            v["params"]["classifier"]["mrcnn_class_conv1"]["kernel"].astype(
+                jnp.bfloat16)),
         boxes, variables, fl)
     chain_time(
         "V3 gather3d->dot",

@@ -23,21 +23,40 @@ from m3d.models.mask_rcnn import MaskRCNN, init_params  # noqa: E402
 
 
 def main():
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    depth = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    batch = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-
-    cfg = Config(
-        IMAGE_SIZE=size, IMAGE_DEPTH=depth,
-        BACKBONE_STRIDES=[(4, 4, 4), (8, 8, 8), (16, 16, 16), (32, 32, 32),
-                          (64, 64, 64)],
-        RPN_ANCHOR_SCALES=(16, 24, 32, 48, 64),
-        RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
-        PRE_NMS_LIMIT=6000, POST_NMS_ROIS_TRAINING=500,
-        TRAIN_ROIS_PER_IMAGE=64, MAX_GT_INSTANCES=32,
-        IMAGES_PER_GPU=batch,
-        COMPUTE_DTYPE="bfloat16",
-    )
+    args = [a for a in sys.argv[1:] if a != "--aniso"]
+    aniso = "--aniso" in sys.argv[1:]
+    if aniso:
+        # The committed anisotropic regime's geometry
+        # (configs/aniso/rpn2.json: 256x256x12, z-stride 2 pyramid).
+        size = int(args[0]) if len(args) > 0 else 256
+        depth = int(args[1]) if len(args) > 1 else 12
+        batch = int(args[2]) if len(args) > 2 else 2
+        cfg = Config(
+            IMAGE_SIZE=size, IMAGE_DEPTH=depth,
+            BACKBONE_STRIDES=[(4, 4, 2), (8, 8, 2), (16, 16, 2),
+                              (32, 32, 2), (64, 64, 2)],
+            RPN_ANCHOR_SCALES=(12, 20, 28, 40, 56),
+            RPN_ANCHOR_RATIOS=[0.7, 1.0, 1.3],
+            PRE_NMS_LIMIT=3000, POST_NMS_ROIS_TRAINING=500,
+            TRAIN_ROIS_PER_IMAGE=64, MAX_GT_INSTANCES=24,
+            IMAGES_PER_GPU=batch,
+            COMPUTE_DTYPE="bfloat16",
+        )
+    else:
+        size = int(args[0]) if len(args) > 0 else 128
+        depth = int(args[1]) if len(args) > 1 else 128
+        batch = int(args[2]) if len(args) > 2 else 1
+        cfg = Config(
+            IMAGE_SIZE=size, IMAGE_DEPTH=depth,
+            BACKBONE_STRIDES=[(4, 4, 4), (8, 8, 8), (16, 16, 16),
+                              (32, 32, 32), (64, 64, 64)],
+            RPN_ANCHOR_SCALES=(16, 24, 32, 48, 64),
+            RPN_ANCHOR_RATIOS=[0.5, 1.0, 2.0],
+            PRE_NMS_LIMIT=6000, POST_NMS_ROIS_TRAINING=500,
+            TRAIN_ROIS_PER_IMAGE=64, MAX_GT_INSTANCES=32,
+            IMAGES_PER_GPU=batch,
+            COMPUTE_DTYPE="bfloat16",
+        )
     model = MaskRCNN.from_config(cfg, mode="training")
     anchors = normalized_pyramid_anchors(cfg)
 

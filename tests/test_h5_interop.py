@@ -330,3 +330,85 @@ def test_restore_casts_to_target_dtype():
     k = merged["params"]["conv"]["kernel"]
     assert k.dtype == np.float32
     np.testing.assert_allclose(np.asarray(k), 0.5)
+
+
+import os  # noqa: E402
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _manifest(name):
+    import json
+
+    with open(os.path.join(FIXDIR, name)) as f:
+        return json.load(f)
+
+
+def test_committed_keras231_fixture_imports(tiny):
+    """Import the COMMITTED externally-written fixture
+    (tests/fixtures/keras231_tiny.h5, written by
+    scripts/make_keras231_fixture.py straight from the Keras-2.3.1 layout
+    spec with no m3d involvement): every manifest weight must land, with
+    exact values (modulo the documented BN eps fold and deconv swap)."""
+    _, model, _ = tiny
+    fresh = init_params(model, jax.random.PRNGKey(3))
+    path = os.path.join(FIXDIR, "keras231_tiny.h5")
+    merged, stats = import_reference_h5(fresh, path)
+    manifest = _manifest("keras231_tiny.manifest.json")
+
+    from flax import traverse_util
+
+    pflat = traverse_util.flatten_dict(merged["params"], sep="/")
+    sflat = traverse_util.flatten_dict(merged["batch_stats"], sep="/")
+
+    leaf_map = {"gamma": "scale", "beta": "bias", "kernel": "kernel",
+                "bias": "bias", "moving_mean": "mean",
+                "moving_variance": "var"}
+    checked = 0
+    for key, info in manifest.items():
+        layer, leaf = key.split("/")
+        target = leaf_map[leaf]
+        tree = sflat if leaf.startswith("moving") else pflat
+        hits = [k for k in tree
+                if k.split("/")[-2] == layer and k.split("/")[-1] == target]
+        assert hits, f"fixture weight {key} not mapped"
+        arr = np.asarray(tree[hits[0]], np.float64)
+        expected = info["sum"]
+        if leaf == "moving_variance":
+            # import folds the Keras/flax eps difference into the variance
+            from m3d.utils.h5_import import FLAX_BN_EPS, KERAS_BN_EPS
+
+            expected += (KERAS_BN_EPS - FLAX_BN_EPS) * arr.size
+        if leaf == "kernel" and "deconv" in layer:
+            pass  # swap preserves the sum
+        np.testing.assert_allclose(arr.sum(), expected, rtol=1e-5,
+                                   err_msg=key)
+        checked += 1
+    assert checked == len(manifest) == 92
+
+
+def test_committed_head_only_fixture_imports(tiny):
+    """The reference's head-only dump format (model_weights/ nesting +
+    head_meta, core/models.py:1990-2026) as a committed file: all mrcnn_*
+    weights import; nothing else is touched."""
+    _, model, _ = tiny
+    fresh = init_params(model, jax.random.PRNGKey(5))
+    path = os.path.join(FIXDIR, "keras231_tiny_head.h5")
+    merged, stats = import_reference_h5(fresh, path)
+    manifest = _manifest("keras231_tiny_head.manifest.json")
+
+    from flax import traverse_util
+
+    pflat = traverse_util.flatten_dict(merged["params"], sep="/")
+    fresh_flat = traverse_util.flatten_dict(fresh["params"], sep="/")
+    n_head = 0
+    for k in pflat:
+        layer = k.split("/")[-2]
+        if layer.startswith("mrcnn_") and k.split("/")[-1] in (
+                "kernel", "bias", "scale"):
+            n_head += 1
+        elif not layer.startswith("mrcnn_"):
+            np.testing.assert_array_equal(
+                np.asarray(pflat[k]), np.asarray(fresh_flat[k]),
+                err_msg=f"non-head weight {k} must be untouched")
+    assert len(manifest) == 50
