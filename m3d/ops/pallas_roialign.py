@@ -494,6 +494,269 @@ def _kernel_slab_fc(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
                 cp.wait()
 
 
+def _kernel_slab_fc_kron(lvl_ref, bat_ref, oy_ref, ox_ref, oz_ref,
+                         bounds_ref,   # scalar-prefetch: [2] int32
+                         wyx_ref,      # [r_b, p*p, Sy*Sx] f32 block
+                         wz_ref,       # [r_b, p, SZ] f32 block
+                         f2_ref, f3_ref, f4_ref, f5_ref,  # HBM
+                         wfc_ref,      # [c_chunks, p, p*p*ck, F] bf16 HBM
+                         out_ref,      # [G, F] f32 block
+                         ring_ref,     # scratch [p, G, p*p*ck]
+                         tile_ref,     # scratch [p, r_b, p*p*ck]
+                         slab2_ref,    # scratch [2, r_b, Sy, Sx, SZ, ck]
+                         wfc_buf,      # scratch [p, p*p*ck, F_TILE]
+                         sems, wsem):
+    """Slab-DMA ROIAlign + FC with the y,x axes contracted in ONE
+    Kronecker-weight matmul per ROI.
+
+    The separable chain in _kernel_slab_fc spends most of its time in
+    Mosaic relayouts: two transposes per ROI move ~3.5 MB through the VPU
+    against microseconds of MXU work (bench_classify_variants.py header,
+    r05). Here the host precomputes W2[n, p^2, Sy*Sx] = Wx (x) Wy, so the
+    in-kernel chain is:
+
+        tA = W2 @ slab[Sy*Sx, SZ*ck]          (one MXU call, y+x at once)
+        t3 = Wz @ transpose(tA)[SZ, p^2*ck]   (small relayout: p^2*SZ*ck)
+
+    — 8x more MACs in stage A than the separable form (49x256 vs 7x16 +
+    7x16 rows), but MACs are MXU-cheap while relayout bytes are not: the
+    only transpose left is p^2*SZ*ck (~300 KB) instead of ~3.5 MB.
+    Ring layout and the FC tail are identical to _kernel_slab_fc.
+    """
+    g = pl.program_id(0)
+    c = pl.program_id(1)
+    s = pl.program_id(2)
+    n_c = pl.num_programs(1)
+    spg = pl.num_programs(2)
+
+    off = bounds_ref[0]
+    cnt = bounds_ref[1]
+
+    r_b = slab2_ref.shape[1]
+    sy = slab2_ref.shape[2]
+    sx = slab2_ref.shape[3]
+    sz = slab2_ref.shape[4]
+    ck = slab2_ref.shape[5]
+    p = ring_ref.shape[0]
+    f_tile = wfc_buf.shape[2]
+    f_total = out_ref.shape[1]
+
+    gg = (g * n_c + c) * spg + s
+
+    def roi_active(roi):
+        return jnp.logical_and(roi >= off, roi < off + cnt)
+
+    def start_dmas(ggn, slot):
+        gn = ggn // (n_c * spg)
+        rem = ggn - gn * (n_c * spg)
+        cn = rem // spg
+        sn = rem - cn * spg
+        oc = pl.multiple_of(cn * ck, 128)
+        for r in range(r_b):
+            roi = (gn * spg + sn) * r_b + r
+
+            @pl.when(roi_active(roi))
+            def _(roi=roi, r=r):
+                level = lvl_ref[roi]
+                b = bat_ref[roi]
+                oy = oy_ref[roi]
+                ox = ox_ref[roi]
+                oz = pl.multiple_of(oz_ref[roi], 8)
+                for lv, feat_ref in enumerate(
+                        (f2_ref, f3_ref, f4_ref, f5_ref)):
+                    @pl.when(level == lv)
+                    def _(feat_ref=feat_ref):
+                        pltpu.make_async_copy(
+                            feat_ref.at[b, pl.ds(oy, sy), pl.ds(ox, sx),
+                                        pl.ds(oz, sz), pl.ds(oc, ck)],
+                            slab2_ref.at[slot, r],
+                            sems.at[slot, r],
+                        ).start()
+
+    n_steps_total = pl.num_programs(0) * n_c * spg
+    slot = jax.lax.rem(gg, 2)
+    next_slot = jax.lax.rem(gg + 1, 2)
+
+    @pl.when(gg == 0)
+    def _():
+        start_dmas(gg, slot)
+
+    @pl.when(gg + 1 < n_steps_total)
+    def _():
+        start_dmas(gg + 1, next_slot)
+
+    @pl.when(jnp.logical_and(c == 0, s == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(s == 0)
+    def _():
+        pltpu.make_async_copy(
+            wfc_ref.at[c, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                       pl.ds(0, f_tile)],
+            wfc_buf, wsem,
+        ).start()
+
+    for r in range(r_b):
+        roi = (g * spg + s) * r_b + r
+
+        @pl.when(roi_active(roi))
+        def _(roi=roi, r=r):
+            pltpu.make_async_copy(
+                f2_ref.at[0, pl.ds(0, sy), pl.ds(0, sx), pl.ds(0, sz),
+                          pl.ds(0, ck)],
+                slab2_ref.at[slot, r],
+                sems.at[slot, r],
+            ).wait()
+            slab = slab2_ref[slot, r]                  # [Sy, Sx, SZ, ck]
+            cd = slab.dtype
+            # Stage A: y+x in one call. Rows of W2 are (x*p + y) pairs,
+            # columns are (y*Sx + x) slab positions — the result's row
+            # order matches the ring's (x*p + y)*ck column layout.
+            tA = jax.lax.dot_general(
+                wyx_ref[r].astype(cd),
+                slab.reshape(sy * sx, sz * ck),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                               # [p*p, SZ*ck]
+            tB = jnp.transpose(tA.reshape(p * p, sz, ck),
+                               (1, 0, 2)).reshape(sz, p * p * ck)
+            t3 = jax.lax.dot_general(
+                wz_ref[r].astype(cd), tB,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # [p, p*p*ck] f32
+            tile_ref[:, r, :] = t3.astype(tile_ref.dtype)
+
+        @pl.when(jnp.logical_not(roi_active(roi)))
+        def _(r=r):
+            tile_ref[:, r, :] = jnp.zeros(
+                (p, ring_ref.shape[2]), ring_ref.dtype)
+
+    base = pl.multiple_of(s * r_b, 8)
+    ring_ref[:, pl.ds(base, r_b), :] = tile_ref[...]
+
+    @pl.when(s == spg - 1)
+    def _():
+        pltpu.make_async_copy(
+            wfc_ref.at[0, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                       pl.ds(0, f_tile)],
+            wfc_buf, wsem,
+        ).wait()
+        n_ft = f_total // f_tile
+        for ft in range(n_ft):
+            acc = jnp.zeros((ring_ref.shape[1], f_tile), jnp.float32)
+            for z in range(p):
+                acc = acc + jax.lax.dot_general(
+                    ring_ref[z], wfc_buf[z],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[:, ft * f_tile:(ft + 1) * f_tile] += acc
+            if ft + 1 < n_ft:
+                cp = pltpu.make_async_copy(
+                    wfc_ref.at[c, pl.ds(0, p), pl.ds(0, ring_ref.shape[2]),
+                               pl.ds((ft + 1) * f_tile, f_tile)],
+                    wfc_buf, wsem,
+                )
+                cp.start()
+                cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pool_size", "slab", "group", "r_batch", "f_tile",
+                     "interpret"),
+)
+def pallas_pyramid_roi_align_fc_kron(levels, batch_idx, origins, wy, wx,
+                                     wz, feature_maps, wfc, pool_size: int,
+                                     slab=(16, 16, 24), group: int = 128,
+                                     r_batch: int = 8, f_tile: int = 256,
+                                     bounds=None, interpret: bool = False):
+    """pallas_pyramid_roi_align_fc with the Kronecker y+x interpolation
+    (_kernel_slab_fc_kron). Same inputs/outputs; W2 is built here."""
+    n = levels.shape[0]
+    p = int(pool_size)
+    c = feature_maps[0].shape[-1]
+    s_y, s_x, s_z = (int(v) for v in slab)
+    r_b = int(r_batch)
+    grp = int(group)
+    assert grp % r_b == 0
+    assert r_b % 8 == 0, r_b
+    ck = min(c, 128)
+    assert c % ck == 0
+    c_chunks = c // ck
+    f = wfc.shape[-1]
+    ftl = min(int(f_tile), f)
+    assert f % ftl == 0
+
+    wfc_p = jnp.transpose(wfc, (2, 1, 0, 3, 4))
+    wfc_p = wfc_p.reshape(p, p * p, c_chunks, ck, f)
+    wfc_p = jnp.transpose(wfc_p, (2, 0, 1, 3, 4)).reshape(
+        c_chunks, p, p * p * ck, f).astype(feature_maps[0].dtype)
+
+    # W2[n, (x*p + y), (y_s*Sx + x_s)] = wx[n, x, x_s] * wy[n, y, y_s]
+    wyx = (wx[:, :, None, None, :] * wy[:, None, :, :, None]).reshape(
+        n, p * p, s_y * s_x)
+
+    meta = jnp.concatenate(
+        [levels[:, None], batch_idx[:, None], origins], axis=1
+    ).astype(jnp.int32)
+    if bounds is None:
+        bounds = jnp.asarray([0, n], jnp.int32)
+    bounds = jnp.asarray(bounds, jnp.int32)
+
+    n_pad = (-n) % grp
+    if n_pad:
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((n_pad, meta.shape[1]), meta.dtype)], 0)
+        wyx = jnp.concatenate(
+            [wyx, jnp.zeros((n_pad,) + wyx.shape[1:], wyx.dtype)], 0)
+        wz = jnp.concatenate(
+            [wz, jnp.zeros((n_pad,) + wz.shape[1:], wz.dtype)], 0)
+    n_tot = n + n_pad
+    n_groups = n_tot // grp
+    spg = grp // r_b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(n_groups, c_chunks, spg),
+        in_specs=[
+            pl.BlockSpec((r_b, p * p, s_y * s_x),
+                         lambda g, c, s, *pf: (g * spg + s, 0, 0)),
+            pl.BlockSpec((r_b, p, s_z),
+                         lambda g, c, s, *pf: (g * spg + s, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),   # wfc
+        ],
+        out_specs=pl.BlockSpec(
+            (grp, f), lambda g, c, s, *pf: (g, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((p, grp, p * p * ck), feature_maps[0].dtype),
+            pltpu.VMEM((p, r_b, p * p * ck), feature_maps[0].dtype),
+            pltpu.VMEM((2, r_b, s_y, s_x, s_z, ck), feature_maps[0].dtype),
+            pltpu.VMEM((p, p * p * ck, ftl), feature_maps[0].dtype),
+            pltpu.SemaphoreType.DMA((2, r_b)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _kernel_slab_fc_kron,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tot, f), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3], meta[:, 4],
+      bounds, wyx, wz, *feature_maps, wfc_p)
+    return out[:n] if n_pad else out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("pool_size", "slab", "group", "r_batch", "f_tile",

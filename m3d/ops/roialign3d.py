@@ -624,11 +624,13 @@ def pyramid_roi_align_pallas(boxes, image_meta, feature_maps, pool_size,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "pool_size", "interpret", "r_batch", "group", "mode", "fc_slab_cap"))
+    "pool_size", "interpret", "r_batch", "group", "mode", "fc_slab_cap",
+    "kernel"))
 def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
                          fc_kernel, interpret: bool = False,
                          r_batch: int = 8, group: int = 128,
-                         mode: str = "full", fc_slab_cap=(16, 16, 24)):
+                         mode: str = "full", fc_slab_cap=(16, 16, 24),
+                         kernel: str = "separable"):
     """Pyramid ROIAlign fused with the pool-cube FC conv: [B, N, F] f32.
 
     Semantically identical to
@@ -756,12 +758,22 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
         return jnp.stack([oy, ox, oz], axis=1), wy, wx, wz
 
     origins, wy, wx, wz = tier_weights(*fc_slab)
-    out_fc = pallas_pyramid_roi_align_fc(
-        levels_s, batch_s, origins, wy, wx, wz, padded,
-        fc_kernel.astype(padded[0].dtype), p, slab=fc_slab,
-        bounds=jnp.stack([jnp.int32(0), n_fit]), interpret=interpret,
-        r_batch=r_batch, group=group, mode=mode,
-    )                                                   # [bsz*n, F] f32
+    if kernel == "kron":
+        from m3d.ops.pallas_roialign import pallas_pyramid_roi_align_fc_kron
+
+        out_fc = pallas_pyramid_roi_align_fc_kron(
+            levels_s, batch_s, origins, wy, wx, wz, padded,
+            fc_kernel.astype(padded[0].dtype), p, slab=fc_slab,
+            bounds=jnp.stack([jnp.int32(0), n_fit]), interpret=interpret,
+            r_batch=r_batch, group=group,
+        )                                               # [bsz*n, F] f32
+    else:
+        out_fc = pallas_pyramid_roi_align_fc(
+            levels_s, batch_s, origins, wy, wx, wz, padded,
+            fc_kernel.astype(padded[0].dtype), p, slab=fc_slab,
+            bounds=jnp.stack([jnp.int32(0), n_fit]), interpret=interpret,
+            r_batch=r_batch, group=group, mode=mode,
+        )                                               # [bsz*n, F] f32
 
     # Fallback: exact-coverage slab kernel + XLA contraction for the rest.
     from m3d.ops.conv3d import conv3d_fc

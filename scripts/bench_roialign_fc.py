@@ -93,6 +93,12 @@ def main():
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     print(f"max rel diff fused vs unfused: {rel:.5f}", flush=True)
 
+    got_k = np.asarray(fused(
+        jnp.float32(0), boxes, feats, kern, kernel="kron")).reshape(
+            B * T, F)
+    rel_k = np.abs(got_k - ref).max() / (np.abs(ref).max() + 1e-9)
+    print(f"max rel diff kron vs unfused: {rel_k:.5f}", flush=True)
+
     chain_time("unfused gather+fc", unfused, boxes, feats, kern)
     import functools
     for label, kw in (
@@ -100,6 +106,10 @@ def main():
         ("fused full rb8 slab12", {"r_batch": 8,
                                    "fc_slab_cap": (12, 12, 24)}),
         ("fused nofc rb4", {"mode": "nofc"}),
+        ("fused KRON rb8", {"kernel": "kron", "r_batch": 8}),
+        ("fused KRON rb8 slab12", {"kernel": "kron", "r_batch": 8,
+                                   "fc_slab_cap": (12, 12, 24)}),
+        ("fused KRON rb16", {"kernel": "kron", "r_batch": 16}),
     ):
         chain_time(f"[{label}]", functools.partial(fused, **kw),
                    boxes, feats, kern)
