@@ -55,14 +55,22 @@ class ClassifierHead(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        """x: [B, T, p, p, p, C] -> (logits [B,T,C], probs [B,T,C], bbox [B,T,C,6])."""
-        b, t = x.shape[:2]
-        x = x.reshape(b * t, *x.shape[2:]).astype(self.dtype)
+    def __call__(self, x, from_fc: bool = False):
+        """x: [B, T, p, p, p, C] -> (logits [B,T,C], probs [B,T,C], bbox [B,T,C,6]).
 
+        from_fc=True: ``x`` is [B, T, F] — the mrcnn_class_conv1 output
+        (bias included) precomputed by the fused ROIAlign+FC kernel
+        (roialign3d.pyramid_roi_align_fc); conv1 is skipped. Inference-only
+        callers use this (MaskRCNN.classify_rois); init always takes the
+        standard path so conv1 params exist either way."""
+        b, t = x.shape[:2]
         p = self.pool_size
-        x = ZConv(self.fc_layers_size, (p, p, p), padding="VALID",
-                  dtype=self.dtype, name="mrcnn_class_conv1")(x)
+        if from_fc:
+            x = x.reshape(b * t, 1, 1, 1, x.shape[-1]).astype(self.dtype)
+        else:
+            x = x.reshape(b * t, *x.shape[2:]).astype(self.dtype)
+            x = ZConv(self.fc_layers_size, (p, p, p), padding="VALID",
+                      dtype=self.dtype, name="mrcnn_class_conv1")(x)
         x = nn.BatchNorm(use_running_average=not self.train_bn, momentum=0.9,
                          dtype=self.dtype, name="mrcnn_class_bn1")(x)
         x = nn.relu(x)

@@ -194,9 +194,23 @@ class MaskRCNN(nn.Module):
         )
 
     def classify_rois(self, rois, image_meta, mrcnn_feature_maps):
-        # Inference-only method: the auto dispatch picks the Pallas ROIAlign
-        # kernel on TPU. Training paths call pyramid_roi_align (XLA, with
-        # gradients) directly — see m3d/train/{head,mrcnn}.py.
+        # Inference-only method. On TPU the classifier's pool-cube FC is
+        # fused INTO the ROIAlign (kron slab-DMA kernel, r5: 26.8 ms vs
+        # 36.5 ms for gather + materialize + matmul at the 128^3 B=4
+        # workload); elsewhere the auto dispatch picks gather/Pallas
+        # ROIAlign and the head applies conv1 itself. Training paths call
+        # pyramid_roi_align (XLA, with gradients) directly — see
+        # m3d/train/{head,mrcnn}.py.
+        from m3d.ops.roialign3d import (fused_classifier_ok,
+                                        pyramid_roi_align_fc)
+
+        if fused_classifier_ok(self.pool_size, list(mrcnn_feature_maps)):
+            cp = self.classifier.variables["params"]["mrcnn_class_conv1"]
+            fc = pyramid_roi_align_fc(
+                rois, image_meta, list(mrcnn_feature_maps), self.pool_size,
+                cp["kernel"], kernel="kron", r_batch=16)
+            fc = fc + cp["bias"]
+            return self.classifier(fc, from_fc=True)
         aligned = pyramid_roi_align_auto(
             rois, image_meta, list(mrcnn_feature_maps), self.pool_size
         )

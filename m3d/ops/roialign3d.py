@@ -691,6 +691,53 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
         num_levels,
     )
 
+    boxes_f = boxes.reshape(bsz * n, 6)
+    levels_f = levels.reshape(bsz * n)
+    batch_f = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
+    out = _roi_align_fc_flat_core(
+        boxes_f, levels_f, batch_f, feature_maps, p, fc_kernel, f_out,
+        interpret, r_batch, group, mode, fc_slab_cap, kernel)
+    return out.reshape(bsz, n, f_out)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "pool_size", "interpret", "r_batch", "group", "mode", "fc_slab_cap",
+    "kernel"))
+def pyramid_roi_align_fc_flat(boxes, batch_idx, image_meta, feature_maps,
+                              pool_size, fc_kernel,
+                              interpret: bool = False,
+                              r_batch: int = 16, group: int = 128,
+                              mode: str = "full",
+                              fc_slab_cap=(16, 16, 24),
+                              kernel: str = "kron"):
+    """Fused ROIAlign+FC over a FLAT ROI list ([N, 6] + [N] image indices)
+    — the layout the adaptive/monolithic classifier stages use
+    (MaskRCNN.classify_rois_flat). Returns [N, F] f32; bias not applied.
+    Measured r5 (128^3 B=4, 2000 ROIs): kron r_batch=16 = 26.8 ms vs
+    36.5 ms for gather + conv3d_fc (scripts/bench_roialign_fc.py)."""
+    if isinstance(pool_size, (tuple, list)):
+        assert len(set(pool_size)) == 1, pool_size
+        pool_size = pool_size[0]
+    p = int(pool_size)
+    batch_idx = jnp.asarray(batch_idx, jnp.int32)
+    boxes_f, levels_f = _sanitize_flat_rois(
+        boxes, batch_idx, image_meta, len(feature_maps))
+    return _roi_align_fc_flat_core(
+        boxes_f, levels_f, batch_idx, feature_maps, p, fc_kernel,
+        fc_kernel.shape[-1], interpret, r_batch, group, mode, fc_slab_cap,
+        kernel)
+
+
+def _roi_align_fc_flat_core(boxes_f, levels_f, batch_f, feature_maps, p,
+                            fc_kernel, f_out, interpret, r_batch, group,
+                            mode, fc_slab_cap, kernel):
+    """Shared fused-ROIAlign+FC body over flat sanitized ROIs: fused-kernel
+    tier + slab-kernel fallback, combined by fit mask. Returns [N, F]."""
+    from m3d.ops.pallas_roialign import (pallas_pyramid_roi_align,
+                                         pallas_pyramid_roi_align_fc)
+
+    n_flat = boxes_f.shape[0]
+
     # Slab geometry (mirrors pyramid_roi_align_pallas).
     s_y, s_x, slab_z = slab_sizes(feature_maps)
     z_align = 8
@@ -710,10 +757,6 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
                 (0, dz_pad), (0, 0)]
         padded.append(jnp.pad(fm, pads) if any(pe for _, pe in pads) else fm)
     padded_dims = jnp.asarray([fm.shape[1:4] for fm in padded], jnp.int32)
-
-    boxes_f = boxes.reshape(bsz * n, 6)
-    levels_f = levels.reshape(bsz * n)
-    batch_f = jnp.repeat(jnp.arange(bsz, dtype=jnp.int32), n)
 
     def axis_pos(bf, lf):
         rd = dims[lf]
@@ -786,16 +829,16 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
     pooled = pallas_pyramid_roi_align(
         levels_s, batch_s, origins2, wy2, wx2, wz2, padded, p,
         slab=(s_y, s_x, slab_z), interpret=interpret,
-        bounds=jnp.stack([n_fit, jnp.int32(bsz * n) - n_fit]), r_batch=r_b,
+        bounds=jnp.stack([n_fit, jnp.int32(n_flat) - n_fit]), r_batch=r_b,
     )                                                   # [bsz*n, p,p,p, C]
     out_fb = conv3d_fc(
         pooled, fc_kernel.astype(pooled.dtype),
         preferred_element_type=jnp.float32,
-    ).reshape(bsz * n, f_out)
+    ).reshape(n_flat, f_out)
 
-    idx = jnp.arange(bsz * n, dtype=jnp.int32)
+    idx = jnp.arange(n_flat, dtype=jnp.int32)
     out = jnp.where((idx < n_fit)[:, None], out_fc, out_fb)
-    out = out[inv_order].reshape(bsz, n, f_out)
+    out = out[inv_order]
     return jnp.where(jnp.isfinite(out), out, 0.0)
 
 
@@ -808,6 +851,16 @@ def pyramid_roi_align_fc(boxes, image_meta, feature_maps, pool_size,
 # R=8 measures 15.7 ms vs 14.5 ms at R=1. No production workload wins, so
 # the cap stays 1; the kernel itself supports R>1 (validated on-chip).
 _VMEM_R_CAP = 1
+
+
+def fused_classifier_ok(pool_size, feature_maps) -> bool:
+    """True when the fused kron ROIAlign+FC kernel can serve the classifier
+    stage: TPU backend, portable mode off, cubic pool, 128-lane channels.
+    (Measured r5: 26.8 ms vs 36.5 ms gather+conv3d_fc at the 128^3 B=4
+    classifier workload — scripts/bench_roialign_fc.py.)"""
+    return (jax.default_backend() == "tpu" and not _PORTABLE_ONLY
+            and isinstance(pool_size, int)
+            and feature_maps[0].shape[-1] % 128 == 0)
 
 
 def pyramid_roi_align_auto(boxes, image_meta, feature_maps, pool_size,

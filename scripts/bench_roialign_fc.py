@@ -101,7 +101,9 @@ def main():
 
     chain_time("unfused gather+fc", unfused, boxes, feats, kern)
     import functools
-    for label, kw in (
+    import os
+    kron_only = os.environ.get("BENCH_KRON_ONLY")
+    variants = (
         ("fused full rb4", {}),
         ("fused full rb8 slab12", {"r_batch": 8,
                                    "fc_slab_cap": (12, 12, 24)}),
@@ -110,7 +112,10 @@ def main():
         ("fused KRON rb8 slab12", {"kernel": "kron", "r_batch": 8,
                                    "fc_slab_cap": (12, 12, 24)}),
         ("fused KRON rb16", {"kernel": "kron", "r_batch": 16}),
-    ):
+    )
+    if kron_only:
+        variants = tuple(v for v in variants if "KRON" in v[0])
+    for label, kw in variants:
         chain_time(f"[{label}]", functools.partial(fused, **kw),
                    boxes, feats, kern)
 
