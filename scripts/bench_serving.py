@@ -111,8 +111,30 @@ def main():
     def bund(v, img):
         return bundle._call(v, img, meta_j)
 
-    t_proc = chain_time("in-process jit", inproc, bundle._variables, image)
-    t_bund = chain_time("serving bundle", bund, bundle._variables, image)
+    # Bundle first: its latency is the deliverable. Raw single-call p50
+    # (what a serving client sees, dispatch included) plus the chained
+    # slope (pure device time).
+    t0 = time.time()
+    out = bundle.predict(np.asarray(image), meta)
+    jax.tree_util.tree_map(lambda x: None, out)
+    print(f"[serving bench] first predict (compile-at-load already done): "
+          f"{time.time()-t0:.2f}s", file=sys.stderr)
+    lat = []
+    for i in range(7):
+        t0 = time.time()
+        bundle.predict(np.asarray(image) + i * 1e-6, meta)
+        lat.append(time.time() - t0)
+    lat.sort()
+    print(f"[serving bench] predict wall p50 {lat[len(lat)//2]*1e3:.1f} ms "
+          f"(min {lat[0]*1e3:.1f}, max {lat[-1]*1e3:.1f}) at B={batch}")
+
+    t_bund = chain_time("serving bundle", bund, bundle._variables, image,
+                        n_lo=2, n_hi=5)
+    # The in-process chain at n_hi=12 exceeds the remote-compile tunnel's
+    # request-size limit (HTTP 413) — keep the chain short; the slope only
+    # needs two lengths.
+    t_proc = chain_time("in-process jit", inproc, bundle._variables, image,
+                        n_lo=2, n_hi=5)
     print(f"bundle {batch/t_bund:.2f} vol/s vs in-process "
           f"{batch/t_proc:.2f} vol/s (overhead "
           f"{(t_bund/t_proc-1)*100:+.1f}%)")
