@@ -48,7 +48,9 @@ import numpy as np
 # (weights/), which survives workspace resets between rounds — restore_by_name
 # casts it back to the model's param dtype.
 CKPTS = (
-    "/root/repo/runs/milestone128/head/weights/best.msgpack",
+    # r5 arc retrains the e2e head fresh in head2 (the r4 head/ dir holds a
+    # stale epoch-1 best trained on the epoch-9 trunk) — prefer newest.
+    "/root/repo/runs/milestone128/head2/weights/best.msgpack",
     "/root/repo/weights/bench_ckpt.f16.msgpack",
 )
 
