@@ -224,7 +224,15 @@ class MaskRCNN(nn.Module):
         valid-first compacted flat proposal axis so classifier cost tracks
         the TOTAL live proposal count across the batch
         (m3d/models/inference.py compacted_classifier_stage).
-        Returns ([N, num_classes] logits, probs, [N, num_classes, 6])."""
+        Returns ([N, num_classes] logits, probs, [N, num_classes, 6]).
+
+        Stays on the XLA gather: at the adaptive path's chunk size
+        (~125 ROIs under lax.cond) the pooled tensor fuses instead of
+        materializing, and routing chunks through the kron fused kernel
+        was measured SLOWER end-to-end (bench.py adaptive 31.8 vs 32.7
+        vol/s, r5) — 16 per-chunk pallas launches pay DMA pipeline
+        spin-up that one monolithic launch amortizes. The kron kernel
+        wins only at full width (classify_rois)."""
         aligned = pyramid_roi_align_flat(
             boxes_flat, batch_idx, image_meta, list(mrcnn_feature_maps),
             self.pool_size

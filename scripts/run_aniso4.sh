@@ -1,6 +1,6 @@
 #!/bin/bash
 # Aniso v4 (VERDICT r4 item 3): extend the plateaued v2 RPN 20->30 epochs at
-# a reduced lr, retrain the e2e head LONG (18 epochs, past val-dice flatten)
+# a reduced lr, retrain the e2e head LONG (12 epochs, 2x the v3 budget)
 # on the best trunk warm-started from the v3 head subtree, evaluate with
 # auto confidence, then re-run the FP failure-mode analysis.
 set -uo pipefail
